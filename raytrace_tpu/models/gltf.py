@@ -280,7 +280,15 @@ def _read_tex(g: GltfFile, tex_info: Optional[dict], reader_attrs: dict) -> Opti
     # normalized int UVs
     if coords.dtype != np.float32:
         coords = coords.astype(np.float32)
-    pixels = g.image_rgb32f(g._tex_image_idx(tex_idx))
+    try:
+        pixels = g.image_rgb32f(g._tex_image_idx(tex_idx))
+    except FileNotFoundError as e:
+        # asset snapshots can lack texture files (e.g. the reference's
+        # spaceship_r1 metallicRoughness map); fall back to factors-only
+        import warnings
+
+        warnings.warn(f"texture missing, using factors only: {e}")
+        return None
     return TextureData(pixels=pixels, coords=coords[:, :2])
 
 

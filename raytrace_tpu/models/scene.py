@@ -266,9 +266,12 @@ def _mesh_triangle_arrays(meshes: list, pool: _TexPool):
     return {k: np.concatenate(vs, axis=0) for k, vs in cols.items()}
 
 
-def build_scene(scheme: Scheme, pad_mult: int = 64) -> SceneArrays:
+def build_scene(scheme: Scheme, pad_mult: int = 2048, pad_small: int = 8) -> SceneArrays:
     """Members -> SceneArrays (the extract_concrete_types analogue,
-    builder/inner.rs:68-110)."""
+    builder/inner.rs:68-110). pad_mult sizes the mesh-triangle arrays
+    (must match the integrator's chunk size); pad_small sizes the
+    sphere/free-triangle arrays (kept tight — every padded row is a
+    wasted intersection test each bounce)."""
     spheres: list = []
     free_tris: list = []
     meshes: list = []
@@ -331,8 +334,8 @@ def build_scene(scheme: Scheme, pad_mult: int = 64) -> SceneArrays:
 
     tex_pool = pool.finalize()
 
-    Sp = _pad_to(S, pad_mult)
-    Fp = _pad_to(F, pad_mult)
+    Sp = _pad_to(S, pad_small)
+    Fp = _pad_to(F, pad_small)
 
     def padm(cols, n):
         em, has, kind, diffp, n_out, n_in = cols

@@ -68,7 +68,9 @@ def sample_refract(state, d, n, n_out, n_in, mode: str = "gpu"):
     total_internal = c22 < 0.0
 
     refl_d = sample_spec(d, nr)
-    trns = d * n_over[..., None] + nr * (n_over * c1 - jnp.sqrt(jnp.maximum(c22, 0.0)))[..., None]
+    sq_c22 = jnp.sqrt(jnp.where(c22 > 0.0, c22, 1.0))  # grad-safe at TIR
+    trns = d * n_over[..., None] + nr * (n_over * c1 - sq_c22)[..., None]
+    trns = jnp.where(total_internal[..., None], d, trns)  # unused lanes, keep finite
 
     r0 = ((n1 - n2) / (n1 + n2)) ** 2
     if mode == "gpu":

@@ -22,11 +22,16 @@ def norm(a):
 
 
 def normalize(a, eps: float = 0.0):
-    """a / |a|. With eps=0 matches the reference exactly (nalgebra
-    normalize divides by the true norm; NaN on zero vectors — the
-    reference has the same behavior). Pass a small eps for guarded
-    variants used in gradient paths."""
-    n = norm(a)
+    """a / |a|, gradient-safe at |a| -> 0.
+
+    Forward is bit-identical to the reference's nalgebra normalize for
+    any |a|^2 > 1e-30 (the working range); below that the norm is
+    clamped so reverse-mode sqrt does not emit NaN through masked-out
+    lanes (0 * NaN = NaN would otherwise poison every gradient). Pass
+    eps to additionally clamp the divisor (degenerate-frame guards)."""
+    n2 = jnp.sum(a * a, axis=-1)
+    tiny = max(eps * eps, 1e-30)
+    n = jnp.sqrt(jnp.where(n2 > tiny, n2, tiny))
     if eps:
         n = jnp.maximum(n, eps)
     return a / n[..., None]

@@ -40,7 +40,9 @@ def intersect_spheres(ro, rd, centers, radii, valid=None, mode: str = "gpu"):
     dirv = jnp.sum(rd[..., None, :] * oc, axis=-1)  # (..., M)
     consts = jnp.sum(oc * oc, axis=-1) - radii * radii
     disc = dirv * dirv - consts
-    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    # double-where keeps reverse-mode sqrt finite on miss lanes
+    # (sqrt'(0) = inf would otherwise turn 0*inf into NaN gradients)
+    sq = jnp.sqrt(jnp.where(disc > 0.0, disc, 1.0))
     near = -dirv - sq
     far = -dirv + sq
     if mode == "gpu":

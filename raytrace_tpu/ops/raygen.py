@@ -26,37 +26,42 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from . import rng
-from .geom import normalize
+from . import vec as v3
+from .vec import Vec3
 
 TWO_PI = 2.0 * jnp.pi
 
 
 def generate(state, x_idx, y_idx, cam):
-    """state: (...,) u32 rng streams; x_idx, y_idx: (...,) i32 pixel
-    coords; cam: models.camera.Camera (built arrays: o, d, up, right,
-    x_cf, y_cf, x_off, y_off, lens_r). Returns (state, ro, rd)."""
+    """state: (N,) u32 rng streams; x_idx, y_idx: (N,) i32 pixel
+    coords; cam: render.renderer.CameraArrays. Returns
+    (state, ro: Vec3, rd: Vec3) in scalar-SoA layout."""
     x = x_idx.astype(jnp.float32)
     y = y_idx.astype(jnp.float32)
     s_x = cam.x_cf * (x - cam.x_off)
     s_y = cam.y_cf * (y - cam.y_off)
-    d = cam.d + s_x[..., None] * cam.right + s_y[..., None] * cam.up
+    cam_d = Vec3(cam.d[0], cam.d[1], cam.d[2])
+    up = Vec3(cam.up[0], cam.up[1], cam.up[2])
+    right = Vec3(cam.right[0], cam.right[1], cam.right[2])
+    cam_o = Vec3(cam.o[0], cam.o[1], cam.o[2])
+
+    d = cam_d + right * s_x + up * s_y
 
     if cam.lens_r is not None:
         state, u = rng.next_f32(state)
         state, v = rng.next_f32(state)
         r = jnp.sqrt(u)
         thet = TWO_PI * v
-        ox = (r - 0.5) * 2.0 * cam.lens_r * jnp.cos(thet)
-        oy = (r - 0.5) * 2.0 * cam.lens_r * jnp.sin(thet)
-        off = cam.right * ox[..., None] + cam.up * oy[..., None]
-        o = off + cam.o
+        ox = (r - 0.5) * (2.0 * cam.lens_r) * jnp.cos(thet)
+        oy = (r - 0.5) * (2.0 * cam.lens_r) * jnp.sin(thet)
+        off = right * ox + up * oy
+        o = off + cam_o
         d = d - off
     else:
-        o = jnp.broadcast_to(cam.o, d.shape)
+        one = jnp.ones_like(x)
+        o = Vec3(one * cam_o.x, one * cam_o.y, one * cam_o.z)
 
     state, ju = rng.next_f32(state)
     state, jv = rng.next_f32(state)
-    d = d + cam.right * ((ju - 0.5) * cam.x_cf)[..., None] + cam.up * (
-        (jv - 0.5) * cam.y_cf
-    )[..., None]
-    return state, o, normalize(d)
+    d = d + right * ((ju - 0.5) * cam.x_cf) + up * ((jv - 0.5) * cam.y_cf)
+    return state, o, v3.normalize(d)

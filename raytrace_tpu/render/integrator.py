@@ -8,6 +8,11 @@ and an active mask; each iteration does closest-hit over ALL primitives
 (brute force, exactly like the reference GPU backend), shades by
 material kind with masked selects, and applies Russian roulette.
 
+Layout: everything is scalar-SoA (ops.vec.Vec3 = three (N,) arrays,
+primitive chunks broadcast as (C, N) with the RAY axis minor) so the
+VPU's (8, 128) tiles are fully used — (N, 3)-shaped math would waste
+97% of the lanes on the padded minor dimension.
+
 Two semantics modes, because the reference's CPU and GPU backends
 genuinely diverge (documented in SURVEY.md §7.3):
 
@@ -19,7 +24,8 @@ genuinely diverge (documented in SURVEY.md §7.3):
     (trace.wgsl:306-310);
   - sphere intersection only accepts the near root (inside rays miss);
   - dielectric weight: 1 on reflect, (1-re) on transmit, folded into
-    `intensity`;
+    `intensity` (and the Schlick cos term makes entering rays always
+    reflect — see tests/test_ops.py::test_refract_entry_semantics);
   - free-triangle emissive honored; no direct-light sampling.
 
 * mode='cpu' (reference CPU backend, radiance.rs:20-120):
@@ -29,8 +35,7 @@ genuinely diverge (documented in SURVEY.md §7.3):
     radiance.rs:77) and divide the bounce rgb by 0.4;
   - sphere takes min positive root; closest-hit guard t >= 20*EPS
     (closest_hit.rs:16);
-  - dielectric reflect weight re folded into rgb;
-  - optional direct light sampling (dir_light_samp).
+  - dielectric reflect weight re folded into rgb.
 
 Per-bounce the integrator draws a fixed budget of 8 uniforms per lane
 (u0 lobe-choice, u1/u2 diffuse, u3 fresnel, u4-u6 PBR scatter, u7 RR) —
@@ -40,17 +45,16 @@ vectorization and reproducibility.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Any
 
 import flax.struct
 import jax
 import jax.numpy as jnp
 
-from ..ops import bsdf, cubemap, rng
-from ..ops.geom import dot, normalize
-from ..ops.intersect import EPS, INF, intersect_spheres, intersect_triangles
-from ..ops.texture import interp_uv, sample_nearest
+from ..ops import rng
+from ..ops import vec as v3
+from ..ops.vec import Vec3
+from ..ops.intersect import EPS, INF
 
 KIND_NONE, KIND_SPHERE, KIND_FREETRI, KIND_MESHTRI = 0, 1, 2, 3
 
@@ -60,9 +64,9 @@ DLS_NORMZE = 1.0 / (30.0 * jnp.pi)  # radiance.rs:90
 
 @flax.struct.dataclass
 class IntegratorParams:
-    max_thres: Any = 0.5  # traced (differentiable not useful, but dynamic)
+    max_thres: Any = 0.5
     assured_depth: int = flax.struct.field(pytree_node=False, default=5)
-    max_bounces: int = flax.struct.field(pytree_node=False, default=40)
+    max_bounces: int = flax.struct.field(pytree_node=False, default=24)
     mode: str = flax.struct.field(pytree_node=False, default="gpu")
     debug_single_ray: bool = flax.struct.field(pytree_node=False, default=False)
     dir_light_samp: bool = flax.struct.field(pytree_node=False, default=False)
@@ -71,14 +75,60 @@ class IntegratorParams:
 
 
 # ---------------------------------------------------------------------------
-# closest hit
+# closest hit — primitives broadcast (C, 1) against rays (N,) -> (C, N)
 
 
-def closest_hit(scene, params, ro, rd):
+def _cols(table):
+    """(M, 3) host array -> Vec3 of (M, 1) column vectors for
+    broadcasting against (N,) ray components."""
+    return Vec3(table[:, 0:1], table[:, 1:2], table[:, 2:3])
+
+
+def _sphere_t(ro: Vec3, rd: Vec3, c: Vec3, r, valid, mode: str):
+    """Quadratic solve (sphere.rs:83-105 == trace.wgsl:589-615) over
+    (C, N). c components are (C, 1); r/valid are (C, 1)."""
+    oc = Vec3(ro.x - c.x, ro.y - c.y, ro.z - c.z)
+    dirv = v3.dot(rd, oc)
+    consts = v3.norm2(oc) - r * r
+    disc = dirv * dirv - consts
+    sq = jnp.sqrt(jnp.where(disc > 0.0, disc, 1.0))  # grad-safe
+    near = -dirv - sq
+    far = -dirv + sq
+    if mode == "gpu":
+        # trace.wgsl:597-608: only the near root can ever be accepted
+        t = jnp.where((disc > 0.0) & (near > 0.0) & (near < far), near, INF)
+    else:
+        # sphere.rs:93-99: min positive root
+        t = jnp.where(
+            disc > 0.0,
+            jnp.where(near > 0.0, near, jnp.where(far > 0.0, far, INF)),
+            INF,
+        )
+    return jnp.where(valid, t, INF)
+
+
+def _triangle_t(ro: Vec3, rd: Vec3, p0: Vec3, e1: Vec3, e2: Vec3, valid):
+    """Möller–Trumbore (generic.rs:102-137 == trace.wgsl:620-646) over
+    (C, N). Triangle components are (C, 1)."""
+    pvec = v3.cross(rd, e2)
+    det = v3.dot(e1, pvec)
+    ok = jnp.abs(det) >= EPS
+    inv_det = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
+    rhs = Vec3(ro.x - p0.x, ro.y - p0.y, ro.z - p0.z)
+    u = inv_det * v3.dot(rhs, pvec)
+    qvec = v3.cross(rhs, e1)
+    w = inv_det * v3.dot(rd, qvec)
+    t = inv_det * v3.dot(e2, qvec)
+    ok = ok & (u >= 0.0) & (u <= 1.0) & (w >= 0.0) & (u + w <= 1.0) & (t >= EPS)
+    ok = ok & valid
+    return jnp.where(ok, t, INF), u, w
+
+
+def closest_hit(scene, params, ro: Vec3, rd: Vec3):
     """Brute-force nearest hit over spheres, free triangles, mesh
     triangles, in the reference GPU's evaluation order
-    (trace.wgsl:389-444). Returns (t, kind, idx, bu, bv)."""
-    n = ro.shape[0]
+    (trace.wgsl:389-444). All returns are (N,)."""
+    n = ro.x.shape[0]
     t_best = jnp.full((n,), INF)
     kind = jnp.zeros((n,), jnp.int32)
     idx = jnp.zeros((n,), jnp.int32)
@@ -88,36 +138,39 @@ def closest_hit(scene, params, ro, rd):
     guard = 20.0 * EPS if params.mode == "cpu" else None
 
     def apply_guard(t):
-        if guard is None:
-            return t
-        return jnp.where(t >= guard, t, INF)
+        # CPU-backend immediate-collision filter (closest_hit.rs:16)
+        return t if guard is None else jnp.where(t >= guard, t, INF)
 
     if scene.n_spheres:
-        ts = intersect_spheres(
-            ro, rd, scene.sph_c, scene.sph_r, scene.sph_valid, mode=params.mode
+        ts = _sphere_t(
+            ro, rd,
+            _cols(scene.sph_c), scene.sph_r[:, None],
+            scene.sph_valid[:, None], params.mode,
         )
         ts = apply_guard(ts)
-        tmin = jnp.min(ts, axis=-1)
-        amin = jnp.argmin(ts, axis=-1).astype(jnp.int32)
+        tmin = jnp.min(ts, axis=0)
+        amin = jnp.argmin(ts, axis=0).astype(jnp.int32)
         better = tmin < t_best
         t_best = jnp.where(better, tmin, t_best)
         kind = jnp.where(better, KIND_SPHERE, kind)
         idx = jnp.where(better, amin, idx)
 
     if scene.n_free_tris:
-        ts, us, vs = intersect_triangles(
-            ro, rd, scene.ft_v0, scene.ft_e1, scene.ft_e2, scene.ft_valid
+        ts, us, ws = _triangle_t(
+            ro, rd,
+            _cols(scene.ft_v0), _cols(scene.ft_e1), _cols(scene.ft_e2),
+            scene.ft_valid[:, None],
         )
         ts = apply_guard(ts)
-        tmin = jnp.min(ts, axis=-1)
-        amin = jnp.argmin(ts, axis=-1).astype(jnp.int32)
+        tmin = jnp.min(ts, axis=0)
+        amin = jnp.argmin(ts, axis=0).astype(jnp.int32)
+        g = lambda a: jnp.take_along_axis(a, amin[None, :], axis=0)[0]
         better = tmin < t_best
         t_best = jnp.where(better, tmin, t_best)
         kind = jnp.where(better, KIND_FREETRI, kind)
         idx = jnp.where(better, amin, idx)
-        g = lambda a: jnp.take_along_axis(a, amin[:, None], axis=-1)[:, 0]
         bu = jnp.where(better, g(us), bu)
-        bv = jnp.where(better, g(vs), bv)
+        bv = jnp.where(better, g(ws), bv)
 
     m = scene.mt_v0.shape[0]
     if m:
@@ -125,210 +178,288 @@ def closest_hit(scene, params, ro, rd):
         if m % chunk:
             raise ValueError(f"mesh tris {m} not a multiple of chunk {chunk}")
         n_chunks = m // chunk
-        if n_chunks == 1:
-            ts, us, vs = intersect_triangles(
-                ro, rd, scene.mt_v0, scene.mt_e1, scene.mt_e2, scene.mt_valid
+
+        def one_chunk(v0c, e1c, e2c, valc):
+            ts, us, ws = _triangle_t(
+                ro, rd, _cols(v0c), _cols(e1c), _cols(e2c), valc[:, None]
             )
             ts = apply_guard(ts)
-            tmin = jnp.min(ts, axis=-1)
-            amin = jnp.argmin(ts, axis=-1).astype(jnp.int32)
-            better = tmin < t_best
-            g = lambda a: jnp.take_along_axis(a, amin[:, None], axis=-1)[:, 0]
-            t_best = jnp.where(better, tmin, t_best)
-            kind = jnp.where(better, KIND_MESHTRI, kind)
-            idx = jnp.where(better, amin, idx)
-            bu = jnp.where(better, g(us), bu)
-            bv = jnp.where(better, g(vs), bv)
+            tmin = jnp.min(ts, axis=0)
+            amin = jnp.argmin(ts, axis=0).astype(jnp.int32)
+            g = lambda a: jnp.take_along_axis(a, amin[None, :], axis=0)[0]
+            return tmin, amin, g(us), g(ws)
+
+        if n_chunks == 1:
+            mt_t, mt_i, mt_u, mt_v = one_chunk(
+                scene.mt_v0, scene.mt_e1, scene.mt_e2, scene.mt_valid
+            )
         else:
             cv0 = scene.mt_v0.reshape(n_chunks, chunk, 3)
             ce1 = scene.mt_e1.reshape(n_chunks, chunk, 3)
             ce2 = scene.mt_e2.reshape(n_chunks, chunk, 3)
             cval = scene.mt_valid.reshape(n_chunks, chunk)
+            bases = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
 
             def body(carry, chunk_data):
                 tb, mi, mu, mv = carry
-                v0, e1, e2, val, base = chunk_data
-                ts, us, vs = intersect_triangles(ro, rd, v0, e1, e2, val)
-                ts = apply_guard(ts)
-                tmin = jnp.min(ts, axis=-1)
-                amin = jnp.argmin(ts, axis=-1).astype(jnp.int32)
+                v0c, e1c, e2c, valc, base = chunk_data
+                tmin, amin, uu, ww = one_chunk(v0c, e1c, e2c, valc)
                 better = tmin < tb
-                g = lambda a: jnp.take_along_axis(a, amin[:, None], axis=-1)[:, 0]
                 return (
                     jnp.where(better, tmin, tb),
                     jnp.where(better, base + amin, mi),
-                    jnp.where(better, g(us), mu),
-                    jnp.where(better, g(vs), mv),
+                    jnp.where(better, uu, mu),
+                    jnp.where(better, ww, mv),
                 ), None
 
-            bases = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
             init = (jnp.full((n,), INF), jnp.zeros((n,), jnp.int32), bu * 0, bv * 0)
             (mt_t, mt_i, mt_u, mt_v), _ = jax.lax.scan(
                 body, init, (cv0, ce1, ce2, cval, bases)
             )
-            better = mt_t < t_best
-            t_best = jnp.where(better, mt_t, t_best)
-            kind = jnp.where(better, KIND_MESHTRI, kind)
-            idx = jnp.where(better, mt_i, idx)
-            bu = jnp.where(better, mt_u, bu)
-            bv = jnp.where(better, mt_v, bv)
+        better = mt_t < t_best
+        t_best = jnp.where(better, mt_t, t_best)
+        kind = jnp.where(better, KIND_MESHTRI, kind)
+        idx = jnp.where(better, mt_i, idx)
+        bu = jnp.where(better, mt_u, bu)
+        bv = jnp.where(better, mt_v, bv)
 
     return t_best, kind, idx, bu, bv
 
 
 # ---------------------------------------------------------------------------
-# shading
+# shading (scalar-SoA BSDF math; formulas cited in ops.bsdf)
 
 
-def _gather(a, i):
-    return jnp.take(a, i, axis=0)
+def _tk(table, idx):
+    return jnp.take(table, idx)
 
 
-def _shade_hit(scene, params, ro, rd, t, kind, idx, bu, bv, draws):
-    """Compute, for every lane (masked combine over primitive kinds):
-    shading normal, surface rgb, emissive + flag, new ray (o, d),
-    dielectric/material weight. draws = tuple of 7 uniforms (u0..u6).
-    Returns dict of per-lane arrays."""
+def _diff_dir(d: Vec3, n: Vec3, u, w) -> Vec3:
+    """Cosine-weighted hemisphere from two uniforms
+    (interaction.rs:11-27 == trace.wgsl:524-540)."""
+    xd = v3.normalize(d - n * v3.dot(d, n), eps=1e-20)
+    yd = v3.normalize(v3.cross(n, xd), eps=1e-20)
+    r = jnp.sqrt(u)
+    thet = (2.0 * jnp.pi) * w
+    z = jnp.sqrt(jnp.maximum(1.0 - u, 0.0))
+    return v3.normalize(xd * (r * jnp.cos(thet)) + yd * (r * jnp.sin(thet)) + n * z)
+
+
+def _refract_dir(d: Vec3, n: Vec3, n_out, n_in, u, mode: str):
+    """Dielectric (interaction.rs:29-60 == trace.wgsl:543-579); see
+    ops.bsdf.sample_refract for the mode-dependent Schlick parity
+    notes. Returns (new_d, weight)."""
+    c = v3.dot(n, d)
+    into = c < 0.0
+    n1 = jnp.where(into, n_out, n_in)
+    n2 = jnp.where(into, n_in, n_out)
+    c1 = jnp.abs(c)
+    nr = v3.where(into, n, -n)
+    n_over = n1 / n2
+    c22 = 1.0 - n_over * n_over * (1.0 - c1 * c1)
+    tir = c22 < 0.0
+    refl_d = v3.normalize(v3.reflect(d, nr))
+    sq_c22 = jnp.sqrt(jnp.where(c22 > 0.0, c22, 1.0))  # grad-safe at TIR
+    trns = d * n_over + nr * (n_over * c1 - sq_c22)
+    trns = v3.where(tir, d, trns)
+    r0 = ((n1 - n2) / (n1 + n2)) ** 2
+    if mode == "gpu":
+        cos_term = 1.0 - v3.dot(trns, n)
+    else:
+        cos_term = 1.0 - jnp.where(into, c1, v3.dot(trns, n))
+    re = r0 + (1.0 + r0) * cos_term**5
+    do_refl = tir | (u < re)
+    new_d = v3.where(do_refl, refl_d, v3.normalize(trns, eps=1e-20))
+    w_refl = jnp.float32(1.0) if mode == "gpu" else jnp.where(tir, 1.0, re)
+    return new_d, jnp.where(do_refl, w_refl, 1.0 - re)
+
+
+def _interp_uv_soa(uv012, mi, bu, bv):
+    """Barycentric UV interpolation (mesh/triangle.rs:228-237):
+    uv012 (M, 3, 2) gathered at mi with weights (1-bu-bv, bu, bv)."""
+    b0 = 1.0 - bu - bv
+    u = b0 * _tk(uv012[:, 0, 0], mi) + bu * _tk(uv012[:, 1, 0], mi) + bv * _tk(uv012[:, 2, 0], mi)
+    w = b0 * _tk(uv012[:, 0, 1], mi) + bu * _tk(uv012[:, 1, 1], mi) + bv * _tk(uv012[:, 2, 1], mi)
+    return u, w
+
+
+def _sample_tex_soa(tex_pool, tex_desc, mi, u, w) -> Vec3:
+    """Nearest-neighbor fetch (uv_image.rs:10-23): tex_desc (M, 3) =
+    [offset, width, height] gathered per lane."""
+    off = _tk(tex_desc[:, 0], mi)
+    wid = _tk(tex_desc[:, 1], mi)
+    hei = _tk(tex_desc[:, 2], mi)
+    wf = wid.astype(jnp.float32)
+    hf = hei.astype(jnp.float32)
+    px = jnp.clip(u * wf, 0.0, jnp.maximum(wf - 1.0, 0.0)).astype(jnp.int32)
+    py = jnp.clip(w * hf, 0.0, jnp.maximum(hf - 1.0, 0.0)).astype(jnp.int32)
+    ok = wid > 0
+    base = jnp.where(ok, off + 3 * (px + py * wid), 0)
+    r = jnp.take(tex_pool, base, mode="clip")
+    g = jnp.take(tex_pool, base + 1, mode="clip")
+    b = jnp.take(tex_pool, base + 2, mode="clip")
+    zero = jnp.float32(0.0)
+    return Vec3(jnp.where(ok, r, zero), jnp.where(ok, g, zero), jnp.where(ok, b, zero))
+
+
+def sample_cubemap(scene, rd: Vec3) -> Vec3:
+    """Distant cube map (distant_cube_map.rs:28-76 ==
+    trace.wgsl:1199-1249): dominant-axis face select (WGSL >= tie
+    order), uv scale/remap, nearest fetch from the texel pool."""
+    d = v3.normalize(rd)
+    ax, ay, az = jnp.abs(d.x), jnp.abs(d.y), jnp.abs(d.z)
+    is_x = (ax >= ay) & (ax >= az)
+    is_y = ~is_x & (ay >= ax) & (ay >= az)
+    face = jnp.where(
+        is_x,
+        jnp.where(d.x < 0.0, 2, 3),
+        jnp.where(is_y, jnp.where(d.y < 0.0, 4, 5), jnp.where(d.z < 0.0, 0, 1)),
+    )
+    u = jnp.where(is_x, d.z, d.x)
+    w = jnp.where(is_x, d.y, jnp.where(is_y, d.z, d.y))
+    fact = jnp.where(is_x, d.x, jnp.where(is_y, d.y, d.z))
+    us = _tk(scene.cm_uv_scales[:, 0], face)
+    vs = _tk(scene.cm_uv_scales[:, 1], face)
+    su = 0.5 * (u * us / fact) + 0.5
+    sv = 0.5 * (w * vs / fact) + 0.5
+    desc = jnp.concatenate([scene.cm_offsets[:, None], scene.cm_dims], axis=1)
+    return _sample_tex_soa(scene.tex_pool, desc, face, su, sv)
+
+
+def _shade_hit(scene, params, ro: Vec3, rd: Vec3, t, kind, idx, bu, bv, draws):
+    """Per-lane masked combine over primitive kinds: shading normal,
+    surface rgb, emissive + flag, new ray, material weight."""
     u0, u1, u2, u3, u4, u5, u6 = draws
     is_sph = kind == KIND_SPHERE
     is_ft = kind == KIND_FREETRI
     is_mt = kind == KIND_MESHTRI
 
     t_safe = jnp.where(jnp.isfinite(t), t, 0.0)
-    perfect = ro + rd * t_safe[..., None]
+    perfect = ro + rd * t_safe
 
     n = t.shape[0]
-    zeros3 = jnp.zeros((n, 3))
-    zeros1 = jnp.zeros((n,))
-    # combined per-lane fields, filled group by group
-    norm = zeros3
-    rgb = zeros3
-    emissive = zeros3
+    zero = jnp.zeros((n,))
+    one = jnp.ones((n,))
+    norm = Vec3(zero, zero, zero)
+    rgb = Vec3(zero, zero, zero)
+    emissive = Vec3(zero, zero, zero)
     has_em = jnp.zeros((n,), bool)
     mkind = jnp.zeros((n,), jnp.int32)
-    diffp = zeros1
-    n_out = jnp.ones((n,))
-    n_in = jnp.ones((n,))
-    metal = zeros1
-    rough = zeros1
-
-    def mixv(mask, new, old):
-        return jnp.where(mask[..., None], new, old)
-
-    def mix(mask, new, old):
-        return jnp.where(mask, new, old)
+    diffp = zero
+    n_out = one
+    n_in = one
+    metal = zero
+    rough = zero
 
     # --- sphere fields (elements/sphere.rs:65-80) ---
     if scene.n_spheres:
         si = jnp.clip(idx, 0, scene.sph_c.shape[0] - 1)
-        sph_norm = normalize(perfect - _gather(scene.sph_c, si), eps=1e-20)
-        norm = mixv(is_sph, sph_norm, norm)
-        rgb = mixv(is_sph, _gather(scene.sph_rgb, si), rgb)
-        emissive = mixv(is_sph, _gather(scene.sph_emissive, si), emissive)
-        has_em = mix(is_sph, _gather(scene.sph_has_em, si), has_em)
-        mkind = mix(is_sph, _gather(scene.sph_kind, si), mkind)
-        diffp = mix(is_sph, _gather(scene.sph_diffp, si), diffp)
-        n_out = mix(is_sph, _gather(scene.sph_n_out, si), n_out)
-        n_in = mix(is_sph, _gather(scene.sph_n_in, si), n_in)
+        sph_norm = v3.normalize(perfect - v3.take(scene.sph_c, si), eps=1e-20)
+        norm = v3.where(is_sph, sph_norm, norm)
+        rgb = v3.where(is_sph, v3.take(scene.sph_rgb, si), rgb)
+        emissive = v3.where(is_sph, v3.take(scene.sph_emissive, si), emissive)
+        has_em = jnp.where(is_sph, _tk(scene.sph_has_em, si), has_em)
+        mkind = jnp.where(is_sph, _tk(scene.sph_kind, si), mkind)
+        diffp = jnp.where(is_sph, _tk(scene.sph_diffp, si), diffp)
+        n_out = jnp.where(is_sph, _tk(scene.sph_n_out, si), n_out)
+        n_in = jnp.where(is_sph, _tk(scene.sph_n_in, si), n_in)
 
     # --- free-triangle fields ---
     if scene.n_free_tris:
         fi = jnp.clip(idx, 0, scene.ft_v0.shape[0] - 1)
-        norm = mixv(is_ft, _gather(scene.ft_norm, fi), norm)
-        rgb = mixv(is_ft, _gather(scene.ft_rgb, fi), rgb)
-        ft_em = _gather(scene.ft_emissive, fi)
-        if params.mode == "cpu":
+        norm = v3.where(is_ft, v3.take(scene.ft_norm, fi), norm)
+        rgb = v3.where(is_ft, v3.take(scene.ft_rgb, fi), rgb)
+        if params.mode != "cpu":
             # CPU zeroes ALL triangle emissive (generic.rs:85-86)
-            pass
-        else:
-            emissive = mixv(is_ft, ft_em, emissive)
-            has_em = mix(is_ft, _gather(scene.ft_has_em, fi), has_em)
-        mkind = mix(is_ft, _gather(scene.ft_kind, fi), mkind)
-        diffp = mix(is_ft, _gather(scene.ft_diffp, fi), diffp)
-        n_out = mix(is_ft, _gather(scene.ft_n_out, fi), n_out)
-        n_in = mix(is_ft, _gather(scene.ft_n_in, fi), n_in)
+            emissive = v3.where(is_ft, v3.take(scene.ft_emissive, fi), emissive)
+            has_em = jnp.where(is_ft, _tk(scene.ft_has_em, fi), has_em)
+        mkind = jnp.where(is_ft, _tk(scene.ft_kind, fi), mkind)
+        diffp = jnp.where(is_ft, _tk(scene.ft_diffp, fi), diffp)
+        n_out = jnp.where(is_ft, _tk(scene.ft_n_out, fi), n_out)
+        n_in = jnp.where(is_ft, _tk(scene.ft_n_in, fi), n_in)
 
     # --- mesh-triangle fields ---
     if scene.n_mesh_tris:
         mi = jnp.clip(idx, 0, scene.mt_v0.shape[0] - 1)
-        mt_const_norm = _gather(scene.mt_const_norm, mi)
+        mt_const_norm = v3.take(scene.mt_const_norm, mi)
         if scene.any_textured:
-            has_nm = _gather(scene.mt_has_norm_map, mi)
-            nrm_mat = _gather(scene.mt_nrm_mat, mi)
-            nscale = _gather(scene.mt_norm_scale, mi)
-            uvn = interp_uv(_gather(scene.mt_uv_norm, mi), bu, bv)
-            ntex = _gather(scene.mt_norm_tex, mi)
-            # raw [0,1] texel used as tangent-space vector — parity with
-            # mesh/triangle.rs:149-151 (no 2x-1 remap in the reference)
-            ntexel = sample_nearest(
-                scene.tex_pool, ntex[:, 0], ntex[:, 1], ntex[:, 2], uvn[..., 0], uvn[..., 1]
+            has_nm = _tk(scene.mt_has_norm_map, mi)
+            nscale = _tk(scene.mt_norm_scale, mi)
+            uvn_u, uvn_v = _interp_uv_soa(scene.mt_uv_norm, mi, bu, bv)
+            # raw [0,1] texel used as the tangent-space vector — parity
+            # with mesh/triangle.rs:149-151 (no 2x-1 remap)
+            ntexel = _sample_tex_soa(scene.tex_pool, scene.mt_norm_tex, mi, uvn_u, uvn_v)
+            nm = scene.mt_nrm_mat  # (M, 3, 3)
+            mx = (
+                _tk(nm[:, 0, 0], mi) * ntexel.x
+                + _tk(nm[:, 0, 1], mi) * ntexel.y
+                + _tk(nm[:, 0, 2], mi) * ntexel.z
             )
-            mapped = normalize(
-                nscale[..., None] * jnp.einsum("nab,nb->na", nrm_mat, ntexel), eps=1e-20
+            my = (
+                _tk(nm[:, 1, 0], mi) * ntexel.x
+                + _tk(nm[:, 1, 1], mi) * ntexel.y
+                + _tk(nm[:, 1, 2], mi) * ntexel.z
             )
-            mt_norm = jnp.where(has_nm[..., None], mapped, mt_const_norm)
+            mz = (
+                _tk(nm[:, 2, 0], mi) * ntexel.x
+                + _tk(nm[:, 2, 1], mi) * ntexel.y
+                + _tk(nm[:, 2, 2], mi) * ntexel.z
+            )
+            mapped = v3.normalize(Vec3(mx, my, mz) * nscale, eps=1e-20)
+            mt_norm = v3.where(has_nm, mapped, mt_const_norm)
 
-            uvr = interp_uv(_gather(scene.mt_uv_rgb, mi), bu, bv)
-            rtex = _gather(scene.mt_rgb_tex, mi)
-            rtexel = sample_nearest(
-                scene.tex_pool, rtex[:, 0], rtex[:, 1], rtex[:, 2], uvr[..., 0], uvr[..., 1]
-            )
-            has_rt = rtex[:, 1] > 0
-            mt_rgb = _gather(scene.mt_rgb_factor, mi) * jnp.where(
-                has_rt[..., None], rtexel, 1.0
-            )
+            uvr_u, uvr_v = _interp_uv_soa(scene.mt_uv_rgb, mi, bu, bv)
+            rtexel = _sample_tex_soa(scene.tex_pool, scene.mt_rgb_tex, mi, uvr_u, uvr_v)
+            has_rt = _tk(scene.mt_rgb_tex[:, 1], mi) > 0
+            texmul = v3.where(has_rt, rtexel, Vec3(one, one, one))
+            mt_rgb = v3.take(scene.mt_rgb_factor, mi) * texmul
 
-            uvm = interp_uv(_gather(scene.mt_uv_mr, mi), bu, bv)
-            mtex = _gather(scene.mt_mr_tex, mi)
-            mtexel = sample_nearest(
-                scene.tex_pool, mtex[:, 0], mtex[:, 1], mtex[:, 2], uvm[..., 0], uvm[..., 1]
-            )
-            has_mt_ = mtex[:, 1] > 0
+            uvm_u, uvm_v = _interp_uv_soa(scene.mt_uv_mr, mi, bu, bv)
+            mtexel = _sample_tex_soa(scene.tex_pool, scene.mt_mr_tex, mi, uvm_u, uvm_v)
+            has_mt_ = _tk(scene.mt_mr_tex[:, 1], mi) > 0
             # metal scales the BLUE channel, rough the GREEN
             # (mesh/triangle.rs:195-197 == trace.wgsl:1120-1123)
-            mt_metal = _gather(scene.mt_metal, mi) * jnp.where(has_mt_, mtexel[:, 2], 1.0)
-            mt_rough = _gather(scene.mt_rough, mi) * jnp.where(has_mt_, mtexel[:, 1], 1.0)
+            mt_metal = _tk(scene.mt_metal, mi) * jnp.where(has_mt_, mtexel.z, 1.0)
+            mt_rough = _tk(scene.mt_rough, mi) * jnp.where(has_mt_, mtexel.y, 1.0)
         else:
             mt_norm = mt_const_norm
-            mt_rgb = _gather(scene.mt_rgb_factor, mi)
-            mt_metal = _gather(scene.mt_metal, mi)
-            mt_rough = _gather(scene.mt_rough, mi)
-        metal = mix(is_mt, mt_metal, metal)
-        rough = mix(is_mt, mt_rough, rough)
-        norm = mixv(is_mt, mt_norm, norm)
-        rgb = mixv(is_mt, mt_rgb, rgb)
+            mt_rgb = v3.take(scene.mt_rgb_factor, mi)
+            mt_metal = _tk(scene.mt_metal, mi)
+            mt_rough = _tk(scene.mt_rough, mi)
+        norm = v3.where(is_mt, mt_norm, norm)
+        rgb = v3.where(is_mt, mt_rgb, rgb)
+        metal = jnp.where(is_mt, mt_metal, metal)
+        rough = jnp.where(is_mt, mt_rough, rough)
 
     pos = perfect + norm * EPS  # offset to avoid self-hit (sphere.rs:70 etc.)
 
     # --- material sampling (all lobes evaluated, masked select) ---
-    spec_d = bsdf.sample_spec(rd, norm)
-    diff_d = _diff_from_uniforms(rd, norm, u1, u2)
-    refr_d, refr_w = _refract_from_uniform(rd, norm, n_out, n_in, u3, params.mode)
+    spec_d = v3.normalize(v3.reflect(rd, norm))
+    diff_d = _diff_dir(rd, norm, u1, u2)
+    refr_d, refr_w = _refract_dir(rd, norm, n_out, n_in, u3, params.mode)
     ds_diff = u0 < diffp  # DiffSpec lobe choice (uniform_diff_spec.rs:27-37)
 
-    uni_d = jnp.where(
-        (mkind == 0)[..., None],
+    uni_d = v3.where(
+        mkind == 0,
         spec_d,
-        jnp.where(
-            (mkind == 1)[..., None],
+        v3.where(
+            mkind == 1,
             diff_d,
-            jnp.where(
-                (mkind == 2)[..., None],
-                jnp.where(ds_diff[..., None], diff_d, spec_d),
-                refr_d,
-            ),
+            v3.where(mkind == 2, v3.where(ds_diff, diff_d, spec_d), refr_d),
         ),
     )
     uni_w = jnp.where(mkind == 3, refr_w, 1.0)
 
-    # mesh PBR divert (mesh/triangle.rs:190-226)
-    refl = bsdf.pbr_reflectance(metal, rd, norm)
+    # mesh PBR divert (mesh/triangle.rs:190-226): r0 = 0.04+0.96*metal,
+    # reflectance = r0 + (1-r0)*(1 - |d.n|^5), CUSTOM_ATTEN = 1
+    r0 = 0.04 + (1.0 - 0.04) * metal
+    refl = r0 + (1.0 - r0) * (1.0 - jnp.abs(v3.dot(rd, norm)) ** 5)
     pbr_diff = u0 < (1.0 - refl)
-    pbr_base = jnp.where(pbr_diff[..., None], diff_d, spec_d)
-    scatter = normalize(jnp.stack([u4, u5, u6], axis=-1), eps=1e-20) * rough[..., None]
-    pbr_d = normalize(pbr_base + scatter)
+    pbr_base = v3.where(pbr_diff, diff_d, spec_d)
+    scatter = v3.normalize(Vec3(u4, u5, u6), eps=1e-20) * rough
+    pbr_d = v3.normalize(pbr_base + scatter)
 
-    new_d = jnp.where(is_mt[..., None], pbr_d, uni_d)
+    new_d = v3.where(is_mt, pbr_d, uni_d)
     weight = jnp.where(is_mt, 1.0, uni_w)
 
     return dict(
@@ -343,52 +474,13 @@ def _shade_hit(scene, params, ro, rd, t, kind, idx, bu, bv, draws):
     )
 
 
-def _diff_from_uniforms(d, n, u, v):
-    """Cosine-weighted hemisphere from two supplied uniforms
-    (interaction.rs:11-27)."""
-    xd = normalize(d - n * dot(d, n)[..., None], eps=1e-20)
-    yd = normalize(jnp.cross(n, xd), eps=1e-20)
-    r = jnp.sqrt(u)
-    thet = 2.0 * jnp.pi * v
-    z = jnp.sqrt(jnp.maximum(1.0 - u, 0.0))
-    return normalize(
-        xd * (r * jnp.cos(thet))[..., None]
-        + yd * (r * jnp.sin(thet))[..., None]
-        + n * z[..., None]
-    )
-
-
-def _refract_from_uniform(d, n, n_out, n_in, u, mode):
-    """Dielectric from one supplied uniform; see bsdf.sample_refract."""
-    c = dot(n, d)
-    into = c < 0.0
-    n1 = jnp.where(into, n_out, n_in)
-    n2 = jnp.where(into, n_in, n_out)
-    c1 = jnp.abs(c)
-    nr = jnp.where(into[..., None], n, -n)
-    n_over = n1 / n2
-    c22 = 1.0 - n_over * n_over * (1.0 - c1 * c1)
-    tir = c22 < 0.0
-    refl_d = bsdf.sample_spec(d, nr)
-    trns = d * n_over[..., None] + nr * (n_over * c1 - jnp.sqrt(jnp.maximum(c22, 0.0)))[..., None]
-    r0 = ((n1 - n2) / (n1 + n2)) ** 2
-    if mode == "gpu":
-        cos_term = 1.0 - dot(trns, n)
-    else:
-        cos_term = 1.0 - jnp.where(into, c1, dot(trns, n))
-    re = r0 + (1.0 + r0) * cos_term**5
-    do_refl = tir | (u < re)
-    new_d = jnp.where(do_refl[..., None], refl_d, normalize(trns, eps=1e-20))
-    w_refl = jnp.float32(1.0) if mode == "gpu" else jnp.where(tir, 1.0, re)
-    return new_d, jnp.where(do_refl, w_refl, 1.0 - re)
-
-
 # ---------------------------------------------------------------------------
 # bounce loop
 
 
 def _bounce_step(scene, params, st):
-    """One bounce for all lanes. st is the lane-state dict."""
+    """One bounce for all lanes. st is the lane-state dict of (N,)
+    arrays / Vec3s."""
     ro, rd = st["ro"], st["rd"]
     t, kind, idx, bu, bv = closest_hit(scene, params, ro, rd)
     state, draws = rng.next_f32_n(st["rng"], 8)
@@ -402,57 +494,54 @@ def _bounce_step(scene, params, st):
 
     L, ci, inten = st["L"], st["ci"], st["inten"]
     if scene.has_cubemap:
-        sky = cubemap.sample(
-            scene.tex_pool, scene.cm_offsets, scene.cm_dims, scene.cm_uv_scales, rd
-        )
+        sky = sample_cubemap(scene, rd)
     else:
-        sky = jnp.zeros_like(L)
+        sky = Vec3.zeros_like(t)
 
     if params.mode == "gpu":
         # -- miss: cubemap emissive, terminate (trace.wgsl:437-444) --
-        add_sky = (active & miss)[..., None]
-        L = L + jnp.where(add_sky, sky * ci * inten[..., None], 0.0)
+        add_sky = active & miss
+        L = L + v3.where(add_sky, sky * ci * inten, Vec3.zeros_like(t))
         # -- emissive hit: add + extra colour multiply (wgsl:294-301) --
-        add_em = (active & hit & shade["has_em"])[..., None]
-        L = L + jnp.where(add_em, shade["emissive"] * ci * inten[..., None], 0.0)
-        ci = jnp.where(add_em, ci * shade["rgb"], ci)
+        add_em = active & hit & shade["has_em"]
+        L = L + v3.where(add_em, shade["emissive"] * ci * inten, Vec3.zeros_like(t))
+        ci = v3.where(add_em, ci * shade["rgb"], ci)
         # -- throughput *= colour (wgsl:303) --
-        ci = jnp.where((active & hit)[..., None], ci * shade["rgb"], ci)
+        ci = v3.where(active & hit, ci * shade["rgb"], ci)
         # -- russian roulette (wgsl:306-310) --
         rr_due = st["bounce"] >= params.assured_depth
         rr_kill = rr_due & (u7 > params.max_thres)
         term = active & hit & rr_kill
-        ci_rr = ci / params.max_thres
-        L = L + jnp.where(term[..., None], ci_rr * inten[..., None], 0.0)
-        ci = jnp.where(term[..., None], ci_rr, ci)
+        ci_rr = ci * (1.0 / params.max_thres)
+        L = L + v3.where(term, ci_rr * inten, Vec3.zeros_like(t))
+        ci = v3.where(term, ci_rr, ci)
         survive = active & hit & ~rr_kill
         inten = jnp.where(survive, inten * shade["weight"], inten)
         new_active = survive
     else:
         # -- CPU semantics (radiance.rs:20-72) --
-        add_sky = (active & miss & scene.has_cubemap)[..., None] if scene.has_cubemap else jnp.zeros((ro.shape[0], 1), bool)
-        # skybox: CPU's closest-hit reaches it as l=inf "unconditional"
-        # element when nothing else hits; emissive added, path ends.
-        L = L + jnp.where(add_sky, sky * ci, 0.0)
-        L = L + jnp.where((active & hit)[..., None], shade["emissive"] * ci, 0.0)
+        if scene.has_cubemap:
+            # skybox is the CPU's l=inf "unconditional" element: reached
+            # when nothing finite hits; emissive added, path ends
+            L = L + v3.where(active & miss, sky * ci, Vec3.zeros_like(t))
+        L = L + v3.where(active & hit, shade["emissive"] * ci, Vec3.zeros_like(t))
         rr_due = st["bounce"] > params.assured_depth
         rr_pass = jnp.where(rr_due, u7 < CPU_RR_THRES, True)
         atten = jnp.where(rr_due, CPU_RR_THRES, 1.0)
         survive = active & hit & rr_pass
-        bounce_rgb = shade["rgb"] * shade["weight"][..., None] / atten[..., None]
-        ci = jnp.where(survive[..., None], ci * bounce_rgb, ci)
-        inten = inten
+        bounce_rgb = shade["rgb"] * (shade["weight"] / atten)
+        ci = v3.where(survive, ci * bounce_rgb, ci)
         new_active = survive
 
     if params.debug_single_ray:
         # first-hit emissive only (radiance.rs:31-33); skybox shows sky
-        L = jnp.where((active & hit)[..., None], shade["emissive"], L)
-        L = jnp.where((active & miss)[..., None], sky, L)
+        L = v3.where(active & hit, shade["emissive"], L)
+        L = v3.where(active & miss, sky, L)
         new_active = jnp.zeros_like(new_active)
 
-    st = dict(
-        ro=jnp.where(new_active[..., None], shade["pos"], ro),
-        rd=jnp.where(new_active[..., None], shade["new_d"], rd),
+    return dict(
+        ro=v3.where(new_active, shade["pos"], ro),
+        rd=v3.where(new_active, shade["new_d"], rd),
         L=L,
         ci=ci,
         inten=inten,
@@ -460,22 +549,23 @@ def _bounce_step(scene, params, st):
         active=new_active,
         bounce=st["bounce"] + new_active.astype(jnp.int32),
     )
-    return st
 
 
-def trace_paths(scene, params: IntegratorParams, ro, rd, rng_state):
-    """Trace a batch of rays to completion. Returns (L, final_rng).
+def trace_paths(scene, params: IntegratorParams, ro: Vec3, rd: Vec3, rng_state):
+    """Trace a batch of rays to completion. Returns (L: Vec3, rng).
 
     Forward rendering uses a while_loop that exits when every lane is
     dead; the differentiable path uses a fixed-length scan (reverse-mode
     through while_loop is not supported)."""
-    n = ro.shape[0]
+    n = ro.x.shape[0]
+    zero = jnp.zeros((n,))
+    one = jnp.ones((n,))
     st = dict(
         ro=ro,
         rd=rd,
-        L=jnp.zeros((n, 3)),
-        ci=jnp.ones((n, 3)),
-        inten=jnp.ones((n,)),
+        L=Vec3(zero, zero, zero),
+        ci=Vec3(one, one, one),
+        inten=one,
         rng=rng_state,
         active=jnp.ones((n,), bool),
         bounce=jnp.zeros((n,), jnp.int32),

@@ -58,20 +58,65 @@ def camera_to_arrays(cam: Camera) -> CameraArrays:
     )
 
 
-def sample_batch(scene, cam, params, width, height, x_idx, y_idx, sample_base, n_samples):
+def sample_batch(
+    scene, cam, params, width, height, x_idx, y_idx, sample_base, n_samples,
+    samples_per_dispatch: int = 1,
+):
     """Radiance SUM over n_samples for the given pixels. Pure function
     (jit under the driver): per sample s, seed the per-pixel stream from
     (x, y, sample_base + s), generate the jittered camera ray, trace.
+
+    samples_per_dispatch (static) packs that many sample replicas of
+    every pixel into one giant lane batch per bounce-loop dispatch —
+    the bounce loop's cost is dominated by per-iteration overheads, so
+    more lanes per iteration is nearly free throughput. n_samples must
+    be divisible by it.
     """
 
+    from ..ops.vec import Vec3
+
+    spd = samples_per_dispatch
+    n = x_idx.shape[0]
+    if spd > 1:
+        xs = jnp.tile(x_idx, spd)
+        ys = jnp.tile(y_idx, spd)
+        rep = jnp.repeat(jnp.arange(spd, dtype=jnp.int32), n)
+    else:
+        xs, ys, rep = x_idx, y_idx, None
+
     def body(s, acc):
-        state = rng.init_state(x_idx, y_idx, width, height, sample_base + s)
-        state, ro, rd = raygen.generate(state, x_idx, y_idx, cam)
+        if spd > 1:
+            samp = sample_base + s * spd + rep
+        else:
+            samp = sample_base + s
+        state = rng.init_state(xs, ys, width, height, samp)
+        state, ro, rd = raygen.generate(state, xs, ys, cam)
         radiance, _ = trace_paths(scene, params, ro, rd, state)
+        if spd > 1:
+            radiance = Vec3(
+                radiance.x.reshape(spd, n).sum(0),
+                radiance.y.reshape(spd, n).sum(0),
+                radiance.z.reshape(spd, n).sum(0),
+            )
         return acc + radiance
 
-    acc0 = jnp.zeros((x_idx.shape[0], 3), jnp.float32)
-    return jax.lax.fori_loop(0, n_samples, body, acc0)
+    z = jnp.zeros((n,), jnp.float32)
+    acc0 = Vec3(z, z, z)
+    if params.differentiable:
+        # reverse-mode needs static trip counts: scan over a static
+        # number of samples (n_samples must be a python int here)
+        if not isinstance(n_samples, int):
+            raise TypeError("differentiable sample_batch needs static int n_samples")
+        assert n_samples % spd == 0, "n_samples must divide by samples_per_dispatch"
+
+        def scan_body(acc, s):
+            return body(s, acc), None
+
+        acc, _ = jax.lax.scan(scan_body, acc0, jnp.arange(n_samples // spd))
+    else:
+        # traced n_samples: driver guarantees divisibility
+        acc = jax.lax.fori_loop(0, n_samples // spd, body, acc0)
+    return acc.to_array()
 
 
 def _params_from_scheme(scheme: Scheme, mode: str, differentiable: bool, mesh_chunk: int):

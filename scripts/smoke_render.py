@@ -3,8 +3,14 @@ import os
 import sys
 import time
 
-os.environ.setdefault("JAX_PLATFORMS", os.environ.get("SMOKE_PLATFORM", "cpu"))
+platform = os.environ.get("SMOKE_PLATFORM", "cpu")
+os.environ["JAX_PLATFORMS"] = platform
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+# the image's sitecustomize pins jax_platforms='axon,cpu'; override it
+jax.config.update("jax_platforms", platform)
 
 import numpy as np
 

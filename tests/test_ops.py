@@ -190,8 +190,8 @@ class TestBsdf:
         _, out, w = bsdf.sample_refract(state, d_in, n, jnp.float32(1.0), jnp.float32(1.5))
         out = np.asarray(out)
         # sin(theta) ~ 0.995 > 1/1.5 -> TIR: reflect, weight 1
-        expected = np.asarray(reflect(d_in, -n))[0]
-        expected /= np.linalg.norm(expected)
+        expected = np.array(reflect(d_in, -n))[0]
+        expected = expected / np.linalg.norm(expected)
         assert np.allclose(out[0], expected, atol=1e-5)
         assert np.allclose(np.asarray(w)[0], 1.0)
 
