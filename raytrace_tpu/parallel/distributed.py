@@ -71,26 +71,35 @@ def make_train_step(
     shape: data-parallel pixels (tile) + sample parallelism (spp) +
     replicated parameters with psum'd grads."""
 
-    def local_loss(diff, cam, scene, params, x_idx, y_idx, sample_base, target):
-        scene = scene.replace(**diff)
-        spp_i = jax.lax.axis_index("spp")
-        base = sample_base + spp_i * n_samples
-        acc = sample_batch(scene, cam, params, width, height, x_idx, y_idx, base, n_samples)
+    def step(scene, cam, params, x_idx, y_idx, sample_base, target):
+        diff, _ = split_diff_scene(scene)
+
+        # differentiate ONLY the local sample batch (no collectives
+        # inside the vjp — shard_map's conservative psum transpose with
+        # check_rep=False would inflate replicated cotangents by the
+        # axis size); the MSE loss pieces around it are linear/explicit.
+        def local_render(diff, cam):
+            sc = scene.replace(**diff)
+            spp_i = jax.lax.axis_index("spp")
+            base = sample_base + spp_i * n_samples
+            return sample_batch(
+                sc, cam, params, width, height, x_idx, y_idx, base, n_samples
+            )
+
+        acc, vjp = jax.vjp(local_render, diff, cam)
         total_spp = n_samples * jax.lax.psum(1, "spp")
         img = jax.lax.psum(acc, "spp") / total_spp
         err = img - target
-        # mean over the FULL pixel set: psum of local sums / global count
         local_sum = jnp.sum(err * err)
         n_total = err.size * jax.lax.psum(1, "tile")
-        return jax.lax.psum(local_sum, "tile") / n_total * loss_scale
+        loss = jax.lax.psum(local_sum, "tile") / n_total * loss_scale
 
-    def step(scene, cam, params, x_idx, y_idx, sample_base, target):
-        diff, _ = split_diff_scene(scene)
-        loss, grads = jax.value_and_grad(local_loss, argnums=(0, 1))(
-            diff, cam, scene, params, x_idx, y_idx, sample_base, target
-        )
-        # loss/grads are already psum'd inside local_loss (value_and_grad
-        # of a psum'd scalar gives replicated grads); no extra collective
+        # analytic cotangent of loss wrt THIS device's acc:
+        # d(loss)/d(acc_d) = 2*err / (n_total * total_spp) * loss_scale
+        cot = (2.0 * loss_scale / n_total / total_spp) * err
+        grads = vjp(cot)
+        # explicit data-parallel gradient all-reduce over the mesh (ICI)
+        grads = jax.tree.map(lambda g: jax.lax.psum(g, ("tile", "spp")), grads)
         return loss, grads
 
     sharded = shard_map(

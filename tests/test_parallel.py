@@ -96,8 +96,33 @@ def test_train_step_grads(setup):
         scene, cam, params, x_idx, y_idx, jnp.int32(0), target
     )
     assert np.isfinite(float(loss))
-    gc = np.asarray(gscene["sph_c"])
-    assert np.isfinite(gc).all()
-    # gradient wrt the diffuse sphere's centre should be nonzero
-    assert np.abs(gc).sum() > 0
+    # geometry grads are finite; for Diff/Spec-only scenes the radiance
+    # is a product of gathered constants, so POINTWISE sph_c grads are
+    # legitimately ~0 (visibility gradients need edge sampling; nonzero
+    # pointwise geometry grads come from angle-dependent weights like
+    # dielectric fresnel / PBR reflectance — covered in test_diff.py)
+    assert np.isfinite(np.asarray(gscene["sph_c"])).all()
     assert np.isfinite(np.asarray(gcam.o)).all()
+    # appearance grads must be nonzero
+    assert np.abs(np.asarray(gscene["sph_emissive"])).max() > 0
+    assert np.abs(np.asarray(gscene["sph_rgb"])).max() > 0
+
+    # cross-check against the single-device gradient of the SAME loss
+    # (2 spp shards -> samples {0, 1})
+    def ref_loss(em, rgb):
+        sc = scene.replace(sph_emissive=em, sph_rgb=rgb)
+        acc0 = sample_batch(sc, cam, params, W, H, x_idx, y_idx, jnp.int32(0), 1)
+        acc1 = sample_batch(sc, cam, params, W, H, x_idx, y_idx, jnp.int32(1), 1)
+        img = (acc0 + acc1) / 2.0
+        return jnp.mean((img - target) ** 2)
+
+    ref_l, ref_g = jax.value_and_grad(ref_loss, argnums=(0, 1))(
+        scene.sph_emissive, scene.sph_rgb
+    )
+    np.testing.assert_allclose(float(loss), float(ref_l), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(gscene["sph_emissive"]), np.asarray(ref_g[0]), rtol=1e-3, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(gscene["sph_rgb"]), np.asarray(ref_g[1]), rtol=1e-3, atol=1e-6
+    )
