@@ -24,32 +24,24 @@ BENCH_SPP = int(os.environ.get("BENCH_SPP", "200"))
 
 
 def main():
+    jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     from __graft_entry__ import _inline_walled_scheme
-    from raytrace_tpu.models.camera import build_camera
-    from raytrace_tpu.models.scene import build_scene
-    from raytrace_tpu.render.integrator import IntegratorParams
-    from raytrace_tpu.render.renderer import camera_to_arrays, sample_batch
+    from raytrace_tpu.render.renderer import Renderer
 
+    spd = int(os.environ.get("BENCH_SPD", "8"))
     scheme = _inline_walled_scheme(W, H, assured=5)
-    scene = jax.device_put(build_scene(scheme))
-    cam = camera_to_arrays(build_camera(scheme.cam, W, H))
-    params = IntegratorParams(assured_depth=5, max_bounces=40)
-    flat = np.arange(W * H, dtype=np.int32)
-    x_idx = jnp.asarray(flat % W)
-    y_idx = jnp.asarray(flat // W)
+    scheme.render_info.width, scheme.render_info.height = W, H
+    r = Renderer(scheme, samples_per_dispatch=spd)
 
-    step = jax.jit(
-        lambda sc, c, xs, ys, base, n: sample_batch(sc, c, params, W, H, xs, ys, base, n)
-    )
+    r.render(samples=spd, batch=spd, progress=False)  # warmup/compile
 
-    step(scene, cam, x_idx, y_idx, jnp.int32(0), jnp.int32(WARMUP_SPP)).block_until_ready()
-
+    bench_spp = max(spd, (BENCH_SPP // spd) * spd)
     t0 = time.time()
-    out = step(scene, cam, x_idx, y_idx, jnp.int32(WARMUP_SPP), jnp.int32(BENCH_SPP))
-    out.block_until_ready()
+    r.render(samples=bench_spp, batch=bench_spp, progress=False)
     dt = time.time() - t0
 
-    paths_per_s = W * H * BENCH_SPP / dt
+    paths_per_s = W * H * bench_spp / dt
     print(
         json.dumps(
             {

@@ -1,0 +1,462 @@
+"""Fused Pallas path-tracing kernel (sphere + free-triangle scenes).
+
+One pallas_call per sample round runs the ENTIRE per-lane bounce loop
+(raygen -> closest-hit -> shade -> russian roulette) in VMEM — the XLA
+integrator issues ~40 small kernels per bounce, and per-kernel overhead
+dominates its runtime; here a tile of 8192 lanes lives in registers/
+VMEM across all bounces of a sample.
+
+Scope (v1): 'gpu'-semantics scenes whose primitives are spheres and
+free triangles (<= 64 each, unrolled against SMEM scalars) — exactly
+the reference's headline benchmark class (walled.yml = 13 spheres,
+README.md:170's 1650x case, plus triangles.yml). Cube-map misses are
+NOT sampled in-kernel: a lane misses at most once and then terminates,
+so the kernel emits (miss_weight = ci*intensity, miss_dir = ray dir)
+per lane and the caller adds `miss_weight * cubemap(miss_dir)` with a
+plain XLA gather — bitwise-equivalent radiance, no HBM gathers inside
+the kernel.
+
+The RNG (ops.rng PCG family) and the per-bounce draw budget (8
+uniforms, same order) are IDENTICAL to the XLA integrator, so both
+paths produce the same image up to float reassociation — which is the
+cross-check in tests/test_pallas.py.
+
+Formula parity citations: see render/integrator.py (the formulas are
+the same trace.wgsl/interaction.rs ones).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+EPS = 1e-4
+INF = 3.4e38  # MAXF-like sentinel (avoid inf arithmetic)
+
+LANES = 128
+SUBLANES = 8  # 8 x 128 = 1024 lanes per grid program (keeps the
+# while-loop carry at one vreg per state array; larger blocks unroll
+# the whole bounce body 8x in Mosaic and explode compile time)
+
+_U32 = jnp.uint32
+
+# sphere table columns (S, 15)
+_SC = dict(cx=0, cy=1, cz=2, r=3, rr=4, gg=5, bb=6, em_r=7, em_g=8, em_b=9,
+           has_em=10, kind=11, diffp=12, n_out=13, n_in=14)
+# free-triangle table columns (F, 21)
+_FC = dict(v0x=0, v0y=1, v0z=2, e1x=3, e1y=4, e1z=5, e2x=6, e2y=7, e2z=8,
+           nx=9, ny=10, nz=11, rr=12, gg=13, bb=14, em_r=15, em_g=16, em_b=17,
+           has_em=18, kind=19, diffp=20, n_out=21, n_in=22)
+_FCOLS = 23
+
+
+def _jenkins(x):
+    x = x + (x << _U32(10))
+    x = x ^ (x >> _U32(6))
+    x = x + (x << _U32(3))
+    x = x ^ (x >> _U32(11))
+    x = x + (x << _U32(15))
+    return x
+
+
+def _next_f32(state):
+    # identical to ops.rng.next_f32 (24-bit conversion; Mosaic has no
+    # uint32->f32 cast)
+    new = state * _U32(747796405) + _U32(2891336453)
+    word = ((new >> ((new >> _U32(28)) + _U32(4))) ^ new) * _U32(277803737)
+    out = (word >> _U32(22)) ^ word
+    bits24 = (out >> _U32(8)).astype(jnp.int32)
+    return new, bits24.astype(jnp.float32) * jnp.float32(1.0 / 16777215.0)
+
+
+def _norm3(x, y, z, tiny=1e-30):
+    n2 = x * x + y * y + z * z
+    inv = jax.lax.rsqrt(jnp.where(n2 > tiny, n2, tiny))
+    return x * inv, y * inv, z * inv
+
+
+def _kernel(
+    # refs
+    xs_ref, ys_ref, samp_ref, sph_ref, ft_ref, cam_ref,
+    lx_ref, ly_ref, lz_ref, mdx_ref, mdy_ref, mdz_ref,
+    mwr_ref, mwg_ref, mwb_ref,
+    *, n_sph: int, n_ft: int, has_lens: bool, assured: int,
+    max_bounces: int,
+):
+    xs = xs_ref[...].astype(jnp.float32)
+    ys = ys_ref[...].astype(jnp.float32)
+
+    # --- rng init (ops/rng.py init_state) ---
+    pix = xs_ref[...].astype(_U32) ^ (ys_ref[...].astype(_U32) << _U32(16))
+    seed = _jenkins(pix) ^ _jenkins(samp_ref[...].astype(_U32) ^ _U32(0x9E3779B9))
+    state = _jenkins(seed)
+
+    # --- camera raygen (ray/generate.rs:13-66) ---
+    c = lambda i: cam_ref[0, i]
+    ox_c, oy_c, oz_c = c(0), c(1), c(2)
+    dx_c, dy_c, dz_c = c(3), c(4), c(5)
+    ux, uy, uz = c(6), c(7), c(8)
+    rx, ry, rz = c(9), c(10), c(11)
+    x_cf, y_cf, x_off, y_off, lens_r = c(12), c(13), c(14), c(15), c(16)
+    max_thres = c(17)
+
+    s_x = x_cf * (xs - x_off)
+    s_y = y_cf * (ys - y_off)
+    dx = dx_c + s_x * rx + s_y * ux
+    dy = dy_c + s_x * ry + s_y * uy
+    dz = dz_c + s_x * rz + s_y * uz
+    if has_lens:
+        state, u = _next_f32(state)
+        state, v = _next_f32(state)
+        r_ = jnp.sqrt(u)
+        th = (2.0 * np.pi) * v
+        lx = (r_ - 0.5) * 2.0 * lens_r * jnp.cos(th)
+        ly_ = (r_ - 0.5) * 2.0 * lens_r * jnp.sin(th)
+        offx = rx * lx + ux * ly_
+        offy = ry * lx + uy * ly_
+        offz = rz * lx + uz * ly_
+        ox, oy, oz = offx + ox_c, offy + oy_c, offz + oz_c
+        dx, dy, dz = dx - offx, dy - offy, dz - offz
+    else:
+        one = jnp.ones_like(xs)
+        ox, oy, oz = one * ox_c, one * oy_c, one * oz_c
+    state, ju = _next_f32(state)
+    state, jv = _next_f32(state)
+    dx = dx + rx * ((ju - 0.5) * x_cf) + ux * ((jv - 0.5) * y_cf)
+    dy = dy + ry * ((ju - 0.5) * x_cf) + uy * ((jv - 0.5) * y_cf)
+    dz = dz + rz * ((ju - 0.5) * x_cf) + uz * ((jv - 0.5) * y_cf)
+    dx, dy, dz = _norm3(dx, dy, dz)
+
+    zero = jnp.zeros_like(dx)
+    one = jnp.ones_like(dx)
+
+    def bounce(carry):
+        (i, state, ox, oy, oz, dx, dy, dz, cir, cig, cib, inten,
+         lr, lg, lb, mdx, mdy, mdz, mwr, mwg, mwb, active_f, depth) = carry
+        active = active_f > 0.5
+
+        # ---- closest hit: spheres (unrolled over SMEM scalars) ----
+        t_best = jnp.full_like(dx, INF)
+        kind = zero  # 0 none / 1 sphere / 2 freetri (f32 compares)
+        idx = zero
+        for si in range(n_sph):
+            s = lambda k: sph_ref[si, _SC[k]]
+            ocx, ocy, ocz = ox - s("cx"), oy - s("cy"), oz - s("cz")
+            dirv = dx * ocx + dy * ocy + dz * ocz
+            consts = ocx * ocx + ocy * ocy + ocz * ocz - s("r") * s("r")
+            disc = dirv * dirv - consts
+            sq = jnp.sqrt(jnp.where(disc > 0.0, disc, 1.0))
+            near = -dirv - sq
+            far = -dirv + sq
+            t_i = jnp.where((disc > 0.0) & (near > 0.0) & (near < far), near, INF)
+            better = t_i < t_best
+            t_best = jnp.where(better, t_i, t_best)
+            kind = jnp.where(better, 1.0, kind)
+            idx = jnp.where(better, float(si), idx)
+        for fi in range(n_ft):
+            f = lambda k: ft_ref[fi, _FC[k]]
+            e1x, e1y, e1z = f("e1x"), f("e1y"), f("e1z")
+            e2x, e2y, e2z = f("e2x"), f("e2y"), f("e2z")
+            pvx = dy * e2z - dz * e2y
+            pvy = dz * e2x - dx * e2z
+            pvz = dx * e2y - dy * e2x
+            det = e1x * pvx + e1y * pvy + e1z * pvz
+            ok = jnp.abs(det) >= EPS
+            inv_det = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
+            hx, hy, hz = ox - f("v0x"), oy - f("v0y"), oz - f("v0z")
+            u = inv_det * (hx * pvx + hy * pvy + hz * pvz)
+            qx = hy * e1z - hz * e1y
+            qy = hz * e1x - hx * e1z
+            qz = hx * e1y - hy * e1x
+            w = inv_det * (dx * qx + dy * qy + dz * qz)
+            t_i = inv_det * (e2x * qx + e2y * qy + e2z * qz)
+            ok = ok & (u >= 0.0) & (u <= 1.0) & (w >= 0.0) & (u + w <= 1.0) & (t_i >= EPS)
+            t_i = jnp.where(ok, t_i, INF)
+            better = t_i < t_best
+            t_best = jnp.where(better, t_i, t_best)
+            kind = jnp.where(better, 2.0, kind)
+            idx = jnp.where(better, float(fi), idx)
+
+        hit = kind > 0.5
+        miss = ~hit
+
+        # ---- per-bounce draws (same budget/order as the integrator's
+        # meshless 5-draw path) --
+        state, u0 = _next_f32(state)
+        state, u1 = _next_f32(state)
+        state, u2 = _next_f32(state)
+        state, u3 = _next_f32(state)
+        state, u7 = _next_f32(state)
+
+        # ---- gather hit attributes (unrolled masked selects) ----
+        nxv = zero; nyv = zero; nzv = zero
+        rgb_r = zero; rgb_g = zero; rgb_b = zero
+        em_r = zero; em_g = zero; em_b = zero
+        has_em = zero; mkind = zero; diffp = zero
+        n_out = one; n_in = one
+        t_safe = jnp.where(hit, t_best, 0.0)
+        px = ox + dx * t_safe
+        py = oy + dy * t_safe
+        pz = oz + dz * t_safe
+        for si in range(n_sph):
+            s = lambda k: sph_ref[si, _SC[k]]
+            m = (kind == 1.0) & (idx == float(si))
+            snx, sny, snz = _norm3(px - s("cx"), py - s("cy"), pz - s("cz"))
+            nxv = jnp.where(m, snx, nxv)
+            nyv = jnp.where(m, sny, nyv)
+            nzv = jnp.where(m, snz, nzv)
+            rgb_r = jnp.where(m, s("rr"), rgb_r)
+            rgb_g = jnp.where(m, s("gg"), rgb_g)
+            rgb_b = jnp.where(m, s("bb"), rgb_b)
+            em_r = jnp.where(m, s("em_r"), em_r)
+            em_g = jnp.where(m, s("em_g"), em_g)
+            em_b = jnp.where(m, s("em_b"), em_b)
+            has_em = jnp.where(m, s("has_em"), has_em)
+            mkind = jnp.where(m, s("kind"), mkind)
+            diffp = jnp.where(m, s("diffp"), diffp)
+            n_out = jnp.where(m, s("n_out"), n_out)
+            n_in = jnp.where(m, s("n_in"), n_in)
+        for fi in range(n_ft):
+            f = lambda k: ft_ref[fi, _FC[k]]
+            m = (kind == 2.0) & (idx == float(fi))
+            nxv = jnp.where(m, f("nx"), nxv)
+            nyv = jnp.where(m, f("ny"), nyv)
+            nzv = jnp.where(m, f("nz"), nzv)
+            rgb_r = jnp.where(m, f("rr"), rgb_r)
+            rgb_g = jnp.where(m, f("gg"), rgb_g)
+            rgb_b = jnp.where(m, f("bb"), rgb_b)
+            em_r = jnp.where(m, f("em_r"), em_r)
+            em_g = jnp.where(m, f("em_g"), em_g)
+            em_b = jnp.where(m, f("em_b"), em_b)
+            has_em = jnp.where(m, f("has_em"), has_em)
+            mkind = jnp.where(m, f("kind"), mkind)
+            diffp = jnp.where(m, f("diffp"), diffp)
+            n_out = jnp.where(m, f("n_out"), n_out)
+            n_in = jnp.where(m, f("n_in"), n_in)
+
+        posx = px + nxv * EPS
+        posy = py + nyv * EPS
+        posz = pz + nzv * EPS
+
+        # ---- BSDF sampling (see integrator._shade_hit) ----
+        dn = dx * nxv + dy * nyv + dz * nzv
+        # spec
+        sdx, sdy, sdz = _norm3(dx - nxv * (2.0 * dn), dy - nyv * (2.0 * dn), dz - nzv * (2.0 * dn))
+        # diff: frame (xd, yd, n)
+        xdx, xdy, xdz = _norm3(dx - nxv * dn, dy - nyv * dn, dz - nzv * dn)
+        ydx = nyv * xdz - nzv * xdy
+        ydy = nzv * xdx - nxv * xdz
+        ydz = nxv * xdy - nyv * xdx
+        ydx, ydy, ydz = _norm3(ydx, ydy, ydz)
+        r_ = jnp.sqrt(u1)
+        th = (2.0 * np.pi) * u2
+        ca, sa = r_ * jnp.cos(th), r_ * jnp.sin(th)
+        zz = jnp.sqrt(jnp.maximum(1.0 - u1, 0.0))
+        ddx, ddy, ddz = _norm3(xdx * ca + ydx * sa + nxv * zz,
+                               xdy * ca + ydy * sa + nyv * zz,
+                               xdz * ca + ydz * sa + nzv * zz)
+        # dielectric (gpu mode)
+        into = dn < 0.0
+        n1 = jnp.where(into, n_out, n_in)
+        n2 = jnp.where(into, n_in, n_out)
+        c1 = jnp.abs(dn)
+        nrx = jnp.where(into, nxv, -nxv)
+        nry = jnp.where(into, nyv, -nyv)
+        nrz = jnp.where(into, nzv, -nzv)
+        n_over = n1 / n2
+        c22 = 1.0 - n_over * n_over * (1.0 - c1 * c1)
+        tir = c22 < 0.0
+        dnr = dx * nrx + dy * nry + dz * nrz
+        refx, refy, refz = _norm3(dx - nrx * (2.0 * dnr), dy - nry * (2.0 * dnr), dz - nrz * (2.0 * dnr))
+        sq22 = jnp.sqrt(jnp.where(c22 > 0.0, c22, 1.0))
+        k_t = n_over * c1 - sq22
+        tx = jnp.where(tir, dx, dx * n_over + nrx * k_t)
+        ty = jnp.where(tir, dy, dy * n_over + nry * k_t)
+        tz = jnp.where(tir, dz, dz * n_over + nrz * k_t)
+        r0 = ((n1 - n2) / (n1 + n2)) ** 2
+        cos_term = 1.0 - (tx * nxv + ty * nyv + tz * nzv)
+        re = r0 + (1.0 + r0) * cos_term**5
+        do_refl = tir | (u3 < re)
+        tnx, tny, tnz = _norm3(tx, ty, tz)
+        rfx = jnp.where(do_refl, refx, tnx)
+        rfy = jnp.where(do_refl, refy, tny)
+        rfz = jnp.where(do_refl, refz, tnz)
+        refr_w = jnp.where(do_refl, 1.0, 1.0 - re)
+
+        ds_diff = u0 < diffp
+        is_spec = mkind == 0.0
+        is_diff = (mkind == 1.0) | ((mkind == 2.0) & ds_diff)
+        is_refr = mkind == 3.0
+        ndx = jnp.where(is_refr, rfx, jnp.where(is_diff, ddx, sdx))
+        ndy = jnp.where(is_refr, rfy, jnp.where(is_diff, ddy, sdy))
+        ndz = jnp.where(is_refr, rfz, jnp.where(is_diff, ddz, sdz))
+        weight = jnp.where(is_refr, refr_w, 1.0)
+
+        # ---- gpu-mode radiance update (trace.wgsl:290-315) ----
+        add_miss = active & miss
+        mdx = jnp.where(add_miss, dx, mdx)
+        mdy = jnp.where(add_miss, dy, mdy)
+        mdz = jnp.where(add_miss, dz, mdz)
+        # miss weight per channel = throughput * intensity at miss time
+        mwr = jnp.where(add_miss, cir * inten, mwr)
+        mwg = jnp.where(add_miss, cig * inten, mwg)
+        mwb = jnp.where(add_miss, cib * inten, mwb)
+
+        add_em = active & hit & (has_em > 0.5)
+        lr = lr + jnp.where(add_em, em_r * cir * inten, 0.0)
+        lg = lg + jnp.where(add_em, em_g * cig * inten, 0.0)
+        lb = lb + jnp.where(add_em, em_b * cib * inten, 0.0)
+        cir = jnp.where(add_em, cir * rgb_r, cir)
+        cig = jnp.where(add_em, cig * rgb_g, cig)
+        cib = jnp.where(add_em, cib * rgb_b, cib)
+
+        hm = active & hit
+        cir = jnp.where(hm, cir * rgb_r, cir)
+        cig = jnp.where(hm, cig * rgb_g, cig)
+        cib = jnp.where(hm, cib * rgb_b, cib)
+
+        rr_due = depth >= float(assured)
+        rr_kill = rr_due & (u7 > max_thres)
+        term = hm & rr_kill
+        inv_thres = 1.0 / max_thres
+        lr = lr + jnp.where(term, cir * inv_thres * inten, 0.0)
+        lg = lg + jnp.where(term, cig * inv_thres * inten, 0.0)
+        lb = lb + jnp.where(term, cib * inv_thres * inten, 0.0)
+        cir = jnp.where(term, cir * inv_thres, cir)
+        cig = jnp.where(term, cig * inv_thres, cig)
+        cib = jnp.where(term, cib * inv_thres, cib)
+
+        survive = hm & ~rr_kill
+        inten = jnp.where(survive, inten * weight, inten)
+
+        ox = jnp.where(survive, posx, ox)
+        oy = jnp.where(survive, posy, oy)
+        oz = jnp.where(survive, posz, oz)
+        dx = jnp.where(survive, ndx, dx)
+        dy = jnp.where(survive, ndy, dy)
+        dz = jnp.where(survive, ndz, dz)
+        depth = depth + jnp.where(survive, 1.0, 0.0)
+
+        return (i + 1, state, ox, oy, oz, dx, dy, dz, cir, cig, cib, inten,
+                lr, lg, lb, mdx, mdy, mdz, mwr, mwg, mwb,
+                jnp.where(survive, 1.0, 0.0), depth)
+
+    def cond(carry):
+        i = carry[0]
+        active_f = carry[-2]
+        return (i < max_bounces) & (jnp.max(active_f) > 0.5)
+
+    init = (0, state, ox, oy, oz, dx, dy, dz, one, one, one, one,
+            zero, zero, zero, zero, zero, zero, zero, zero, zero,
+            one, zero)
+    out = jax.lax.while_loop(cond, bounce, init)
+    (_, _, _, _, _, _, _, _, _, _, _, _, lr, lg, lb,
+     mdx, mdy, mdz, mwr, mwg, mwb, _, _) = out
+
+    lx_ref[...] = lr
+    ly_ref[...] = lg
+    lz_ref[...] = lb
+    mdx_ref[...] = mdx
+    mdy_ref[...] = mdy
+    mdz_ref[...] = mdz
+    mwr_ref[...] = mwr
+    mwg_ref[...] = mwg
+    mwb_ref[...] = mwb
+
+
+def pack_scene_tables(scene):
+    """SceneArrays -> (sph_table (S,15), ft_table (F,23)) numpy f32."""
+    S = int(scene.n_spheres)
+    F = int(scene.n_free_tris)
+    sph = np.zeros((max(S, 1), 15), np.float32)
+    if S:
+        sph[:S, 0:3] = np.asarray(scene.sph_c)[:S]
+        sph[:S, 3] = np.asarray(scene.sph_r)[:S]
+        sph[:S, 4:7] = np.asarray(scene.sph_rgb)[:S]
+        sph[:S, 7:10] = np.asarray(scene.sph_emissive)[:S]
+        sph[:S, 10] = np.asarray(scene.sph_has_em)[:S]
+        sph[:S, 11] = np.asarray(scene.sph_kind)[:S]
+        sph[:S, 12] = np.asarray(scene.sph_diffp)[:S]
+        sph[:S, 13] = np.asarray(scene.sph_n_out)[:S]
+        sph[:S, 14] = np.asarray(scene.sph_n_in)[:S]
+    ft = np.zeros((max(F, 1), _FCOLS), np.float32)
+    if F:
+        ft[:F, 0:3] = np.asarray(scene.ft_v0)[:F]
+        ft[:F, 3:6] = np.asarray(scene.ft_e1)[:F]
+        ft[:F, 6:9] = np.asarray(scene.ft_e2)[:F]
+        ft[:F, 9:12] = np.asarray(scene.ft_norm)[:F]
+        ft[:F, 12:15] = np.asarray(scene.ft_rgb)[:F]
+        ft[:F, 15:18] = np.asarray(scene.ft_emissive)[:F]
+        ft[:F, 18] = np.asarray(scene.ft_has_em)[:F]
+        ft[:F, 19] = np.asarray(scene.ft_kind)[:F]
+        ft[:F, 20] = np.asarray(scene.ft_diffp)[:F]
+        ft[:F, 21] = np.asarray(scene.ft_n_out)[:F]
+        ft[:F, 22] = np.asarray(scene.ft_n_in)[:F]
+    return sph, ft
+
+
+def supports(scene, params) -> bool:
+    """v1 coverage: gpu semantics, spheres + free tris only, each <= 64."""
+    return (
+        params.mode == "gpu"
+        and not params.debug_single_ray
+        and scene.n_mesh_tris == 0
+        and scene.n_spheres <= 64
+        and scene.n_free_tris <= 64
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_sph", "n_ft", "has_lens", "assured", "max_bounces", "interpret"),
+)
+def trace_tiles(
+    xs, ys, samp, sph_table, ft_table, cam_vec,
+    n_sph: int, n_ft: int, has_lens: bool, assured: int,
+    max_bounces: int, interpret: bool = False,
+):
+    """xs/ys/samp: (R, 128) i32 lane grids (R multiple of SUBLANES).
+    Returns (L (R,128,3 packed as 3 arrays), miss_dir 3x, miss_w)."""
+    rows = xs.shape[0]
+    assert rows % SUBLANES == 0, rows
+    grid = rows // SUBLANES
+    lane_spec = pl.BlockSpec((SUBLANES, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    smem = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.SMEM)
+    out_shape = [jax.ShapeDtypeStruct((rows, LANES), jnp.float32)] * 9
+    kernel = functools.partial(
+        _kernel,
+        n_sph=n_sph, n_ft=n_ft, has_lens=has_lens, assured=assured,
+        max_bounces=max_bounces,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            lane_spec, lane_spec, lane_spec,
+            smem(sph_table.shape), smem(ft_table.shape), smem(cam_vec.shape),
+        ],
+        out_specs=[lane_spec] * 9,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(xs, ys, samp, sph_table, ft_table, cam_vec)
+
+
+def make_cam_vec(cam, max_thres: float = 0.5) -> np.ndarray:
+    """(1, 18) f32 camera + render scalars for SMEM."""
+    v = np.zeros((1, 18), np.float32)
+    v[0, 0:3] = np.asarray(cam.o)
+    v[0, 3:6] = np.asarray(cam.d)
+    v[0, 6:9] = np.asarray(cam.up)
+    v[0, 9:12] = np.asarray(cam.right)
+    v[0, 12] = float(cam.x_cf)
+    v[0, 13] = float(cam.y_cf)
+    v[0, 14] = float(cam.x_off)
+    v[0, 15] = float(cam.y_off)
+    v[0, 16] = float(cam.lens_r) if cam.lens_r is not None else 0.0
+    v[0, 17] = float(max_thres)
+    return v

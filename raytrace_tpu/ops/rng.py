@@ -65,10 +65,17 @@ def next_u32(state):
 
 
 def next_f32(state):
-    """One uniform f32 in [0, 1]: f32(u32) / f32(0xffffffff), matching
-    the reference's conversion (trace.wgsl:1268)."""
+    """One uniform f32 in [0, 1] from the top 24 bits.
+
+    The reference converts f32(u32)/f32(0xffffffff) (trace.wgsl:1268);
+    we use (word >> 8) / 0xffffff instead — identical distribution at
+    f32 precision (a float32 cannot hold 32 significant bits anyway)
+    and it avoids the uint32->f32 cast that the TPU Mosaic compiler
+    does not implement, keeping this bit-identical with the Pallas
+    kernel's in-kernel RNG."""
     state, word = next_u32(state)
-    return state, word.astype(jnp.float32) * jnp.float32(1.0 / 4294967295.0)
+    bits24 = (word >> _U32(8)).astype(jnp.int32)
+    return state, bits24.astype(jnp.float32) * jnp.float32(1.0 / 16777215.0)
 
 
 def next_f32_n(state, n: int):

@@ -483,8 +483,14 @@ def _bounce_step(scene, params, st):
     arrays / Vec3s."""
     ro, rd = st["ro"], st["rd"]
     t, kind, idx, bu, bv = closest_hit(scene, params, ro, rd)
-    state, draws = rng.next_f32_n(st["rng"], 8)
-    u7 = draws[7]
+    if scene.n_mesh_tris:
+        state, draws = rng.next_f32_n(st["rng"], 8)
+        u7 = draws[7]
+    else:
+        # meshless scenes skip the 3 PBR scatter draws (u4-u6); the
+        # pallas kernel draws the identical 5-uniform budget
+        state, (u0, u1, u2, u3, u7) = rng.next_f32_n(st["rng"], 5)
+        draws = (u0, u1, u2, u3, u1, u2, u3, u7)
 
     hit = kind != KIND_NONE
     miss = ~hit

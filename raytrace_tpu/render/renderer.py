@@ -119,6 +119,59 @@ def sample_batch(
     return acc.to_array()
 
 
+def sample_batch_fused(
+    tables, cam_vec, scene, params, width, height, xs2d, ys2d, rep2d,
+    sample_base, n_samples, samples_per_dispatch: int = 1,
+    has_lens: bool = False,
+):
+    """Fused-kernel equivalent of sample_batch for supported scenes
+    (ops/pallas/trace_kernel.py): per sample round, one pallas_call
+    runs the whole bounce loop; cubemap misses are resolved with an
+    XLA gather afterwards. xs2d/ys2d/rep2d are (R, 128) lane grids
+    (pixels already replicated samples_per_dispatch times). Returns
+    (n_pix, 3) radiance sums."""
+    from ..ops.pallas import trace_kernel as tk
+    from ..ops.vec import Vec3
+
+    del width, height  # pixel coords come in via the lane grids
+    sph_table, ft_table = tables
+    spd = samples_per_dispatch
+    n_lanes = xs2d.size
+    n_pix = n_lanes // spd  # padded pixel count (caller slices)
+
+    def body(s, acc):
+        samp = sample_base + s * spd + rep2d
+        lr, lg, lb, mdx, mdy, mdz, mwr, mwg, mwb = tk.trace_tiles(
+            xs2d, ys2d, samp, sph_table, ft_table, cam_vec,
+            n_sph=scene.n_spheres, n_ft=scene.n_free_tris,
+            has_lens=has_lens,
+            assured=params.assured_depth,
+            max_bounces=params.max_bounces,
+        )
+        if scene.has_cubemap:
+            from .integrator import sample_cubemap
+
+            md = Vec3(mdx.reshape(-1), mdy.reshape(-1), mdz.reshape(-1))
+            missed = (md.x != 0.0) | (md.y != 0.0) | (md.z != 0.0)
+            sky = sample_cubemap(scene, Vec3(
+                jnp.where(missed, md.x, 1.0), md.y, md.z))
+            lr = lr.reshape(-1) + jnp.where(missed, mwr.reshape(-1) * sky.x, 0.0)
+            lg = lg.reshape(-1) + jnp.where(missed, mwg.reshape(-1) * sky.y, 0.0)
+            lb = lb.reshape(-1) + jnp.where(missed, mwb.reshape(-1) * sky.z, 0.0)
+        else:
+            lr, lg, lb = lr.reshape(-1), lg.reshape(-1), lb.reshape(-1)
+        rad = Vec3(
+            lr.reshape(spd, n_pix).sum(0),
+            lg.reshape(spd, n_pix).sum(0),
+            lb.reshape(spd, n_pix).sum(0),
+        )
+        return acc + rad
+
+    z = jnp.zeros((n_pix,), jnp.float32)
+    acc = jax.lax.fori_loop(0, n_samples // spd, body, Vec3(z, z, z))
+    return acc.to_array()
+
+
 def _params_from_scheme(scheme: Scheme, mode: str, differentiable: bool, mesh_chunk: int):
     ri = scheme.render_info.rad_info
     return IntegratorParams(
@@ -143,6 +196,8 @@ class Renderer:
         tile_size: int = 1 << 17,
         mesh_chunk: int = 2048,
         scene: Optional[SceneArrays] = None,
+        samples_per_dispatch: Optional[int] = None,
+        use_fused: Optional[bool] = None,
     ):
         self.scheme = scheme
         info = scheme.render_info
@@ -160,6 +215,13 @@ class Renderer:
         self.target = RenderTarget(self.width, self.height)
         self.tile_size = min(tile_size, self.width * self.height)
 
+        from ..ops.pallas import trace_kernel as tk
+
+        if use_fused is None:
+            use_fused = tk.supports(self.scene, self.params) and jax.default_backend() != "cpu"
+        self.use_fused = use_fused and tk.supports(self.scene, self.params)
+        self.spd = samples_per_dispatch or (4 if self.use_fused else 1)
+
         n_pix = self.width * self.height
         n_tiles = -(-n_pix // self.tile_size)
         pad = n_tiles * self.tile_size - n_pix
@@ -170,8 +232,40 @@ class Renderer:
         self._y_idx = (flat // self.width).reshape(n_tiles, self.tile_size)
         self.n_tiles = n_tiles
 
+        if self.use_fused:
+            # fused path: one lane grid covering ALL pixels x spd reps,
+            # rep-major so the (spd, padded_npix) reshape sums replicas;
+            # pixel count padded so lanes fill (SUBLANES x 128) tiles
+            lane_unit = tk.SUBLANES * tk.LANES
+            assert lane_unit % self.spd == 0
+            unit = lane_unit // self.spd
+            padded_npix = -(-n_pix // unit) * unit
+            lane = np.arange(padded_npix * self.spd)
+            lane_pix = np.minimum(lane % padded_npix, n_pix - 1)
+            rep = lane // padded_npix
+            rows = lane.size // tk.LANES
+            self._fxs = jnp.asarray((lane_pix % self.width).astype(np.int32).reshape(rows, tk.LANES))
+            self._fys = jnp.asarray((lane_pix // self.width).astype(np.int32).reshape(rows, tk.LANES))
+            self._frep = jnp.asarray(rep.astype(np.int32).reshape(rows, tk.LANES))
+            self._fpadded_npix = padded_npix
+            sph_t, ft_t = tk.pack_scene_tables(self.scene)
+            self._tables = (jnp.asarray(sph_t), jnp.asarray(ft_t))
+            self._cam_vec = jnp.asarray(
+                tk.make_cam_vec(self.camera, float(scheme.render_info.rad_info.russ_roull_info.max_thres))
+            )
+            self._fstep = jax.jit(
+                partial(
+                    sample_batch_fused,
+                    width=self.width, height=self.height,
+                    samples_per_dispatch=self.spd,
+                    has_lens=self.camera.lens_r is not None,
+                ),
+                static_argnames=(),
+            )
+
         self._step = jax.jit(
-            partial(sample_batch, width=self.width, height=self.height),
+            partial(sample_batch, width=self.width, height=self.height,
+                    samples_per_dispatch=1),
             static_argnames=(),
         )
 
@@ -202,24 +296,41 @@ class Renderer:
                 bar = None
 
         scene_dev = jax.device_put(self.scene)
+        n_pix = self.width * self.height
         for base in it:
             n = min(b, total - base)
-            tile_sums = []
-            for ti in range(self.n_tiles):
-                out = self._step(
+            if self.use_fused:
+                n_f = max(self.spd, (n // self.spd) * self.spd)
+                out = self._fstep(
+                    self._tables,
+                    self._cam_vec,
                     scene_dev,
-                    self.cam_arrays,
                     self.params,
-                    x_idx=jnp.asarray(self._x_idx[ti]),
-                    y_idx=jnp.asarray(self._y_idx[ti]),
+                    xs2d=self._fxs,
+                    ys2d=self._fys,
+                    rep2d=self._frep,
                     sample_base=jnp.int32(base),
-                    n_samples=jnp.int32(n),
+                    n_samples=jnp.int32(n_f),
                 )
-                tile_sums.append(np.asarray(out))
-            flat = np.concatenate(tile_sums, axis=0)
-            if self._pad:
-                flat = flat[: self.width * self.height]
-            self.target.add(flat, n)
+                self.target.add(np.asarray(out)[:n_pix], n_f)
+                n = n_f
+            else:
+                tile_sums = []
+                for ti in range(self.n_tiles):
+                    out = self._step(
+                        scene_dev,
+                        self.cam_arrays,
+                        self.params,
+                        x_idx=jnp.asarray(self._x_idx[ti]),
+                        y_idx=jnp.asarray(self._y_idx[ti]),
+                        sample_base=jnp.int32(base),
+                        n_samples=jnp.int32(n),
+                    )
+                    tile_sums.append(np.asarray(out))
+                flat = np.concatenate(tile_sums, axis=0)
+                if self._pad:
+                    flat = flat[:n_pix]
+                self.target.add(flat, n)
             if bar is not None:
                 bar.update(n)
             if update_hook is not None:

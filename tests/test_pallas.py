@@ -1,0 +1,108 @@
+"""Fused Pallas kernel vs the XLA integrator: identical RNG streams and
+draw budget mean the two paths must agree up to float reassociation.
+Runs in Pallas interpret mode on CPU."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+import sys, os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from __graft_entry__ import _inline_walled_scheme
+from raytrace_tpu.models.camera import build_camera
+from raytrace_tpu.models.scene import build_scene
+from raytrace_tpu.ops.pallas import trace_kernel as tk
+from raytrace_tpu.render.integrator import IntegratorParams
+from raytrace_tpu.render.renderer import (
+    camera_to_arrays,
+    sample_batch,
+    sample_batch_fused,
+)
+
+W, H = 128, 64  # 8192 pixels = exactly one pallas tile
+
+
+@pytest.fixture(scope="module")
+def setup():
+    scheme = _inline_walled_scheme(W, H, assured=3)
+    scene = build_scene(scheme)
+    cam = build_camera(scheme.cam, W, H)
+    cam_arrays = camera_to_arrays(cam)
+    params = IntegratorParams(assured_depth=3, max_bounces=12)
+    return scheme, scene, cam, cam_arrays, params
+
+
+def test_supports(setup):
+    _, scene, _, _, params = setup
+    assert tk.supports(scene, params)
+    assert not tk.supports(scene, params.replace(mode="cpu"))
+
+
+def test_fused_matches_xla(setup):
+    _, scene, cam, cam_arrays, params = setup
+    n_pix = W * H
+    flat = np.arange(n_pix, dtype=np.int32)
+    x_idx = jnp.asarray(flat % W)
+    y_idx = jnp.asarray(flat // W)
+
+    ref = np.asarray(
+        sample_batch(scene, cam_arrays, params, W, H, x_idx, y_idx, jnp.int32(0), jnp.int32(2))
+    )
+
+    sph_t, ft_t = tk.pack_scene_tables(scene)
+    cam_vec = jnp.asarray(tk.make_cam_vec(cam))
+    rows = n_pix // tk.LANES
+    xs2d = x_idx.reshape(rows, tk.LANES)
+    ys2d = y_idx.reshape(rows, tk.LANES)
+    rep2d = jnp.zeros((rows, tk.LANES), jnp.int32)
+
+    with pltpu.force_tpu_interpret_mode():
+        out = sample_batch_fused(
+            (jnp.asarray(sph_t), jnp.asarray(ft_t)), cam_vec, scene, params,
+            W, H, xs2d, ys2d, rep2d, jnp.int32(0), jnp.int32(2),
+            samples_per_dispatch=1,
+        )
+    out = np.asarray(out)
+
+    assert np.isfinite(out).all()
+    # identical streams -> near-identical radiance
+    mismatch = np.abs(out - ref) / (np.abs(ref) + 1e-3)
+    frac_bad = (mismatch > 1e-3).mean()
+    assert frac_bad < 0.01, f"{frac_bad:.4f} of lanes differ; max rel {mismatch.max()}"
+
+
+def test_fused_spd_replicas(setup):
+    """samples_per_dispatch packs replicas; total must equal the sum of
+    the individual samples."""
+    _, scene, cam, cam_arrays, params = setup
+    n_pix = (W * H) // 2  # 4096 pixels x 2 reps = one tile
+    flat = np.arange(n_pix, dtype=np.int32)
+    x_idx = jnp.asarray(flat % W)
+    y_idx = jnp.asarray(flat // W)
+
+    r0 = np.asarray(sample_batch(scene, cam_arrays, params, W, H, x_idx, y_idx, jnp.int32(0), jnp.int32(1)))
+    r1 = np.asarray(sample_batch(scene, cam_arrays, params, W, H, x_idx, y_idx, jnp.int32(1), jnp.int32(1)))
+    ref = r0 + r1
+
+    sph_t, ft_t = tk.pack_scene_tables(scene)
+    cam_vec = jnp.asarray(tk.make_cam_vec(cam))
+    lane = np.arange(n_pix * 2)
+    lane_pix = lane % n_pix
+    rep = lane // n_pix
+    rows = lane.size // tk.LANES
+    xs2d = jnp.asarray((lane_pix % W).astype(np.int32).reshape(rows, tk.LANES))
+    ys2d = jnp.asarray((lane_pix // W).astype(np.int32).reshape(rows, tk.LANES))
+    rep2d = jnp.asarray(rep.astype(np.int32).reshape(rows, tk.LANES))
+
+    with pltpu.force_tpu_interpret_mode():
+        out = sample_batch_fused(
+            (jnp.asarray(sph_t), jnp.asarray(ft_t)), cam_vec, scene, params,
+            W, H, xs2d, ys2d, rep2d, jnp.int32(0), jnp.int32(2),
+            samples_per_dispatch=2,
+        )
+    out = np.asarray(out)
+    mismatch = np.abs(out - ref) / (np.abs(ref) + 1e-3)
+    assert (mismatch > 1e-3).mean() < 0.01
