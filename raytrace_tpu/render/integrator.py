@@ -50,6 +50,7 @@ from typing import Any
 import flax.struct
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops import rng
 from ..ops import vec as v3
@@ -539,13 +540,48 @@ def _bounce_step(scene, params, st):
         ci = v3.where(survive, ci * bounce_rgb, ci)
         new_active = survive
 
+    use_dls = params.dir_light_samp and params.mode == "cpu" and scene.n_spheres
+    if use_dls:
+        # direct light sampling (radiance.rs:89-120; CPU backend only):
+        # at the PREVIOUS bounce's diffuse hit, sum over emissive-sphere
+        # emitters (the only DLSEmitter impl, sphere.rs:55-62): shadow
+        # ray toward the center; contribution light_dot * emissive /
+        # (30*pi) when the nearest hit IS that emitter; emitters equal
+        # to the previous element or this bounce's element are omitted
+        # (radiance.rs:46-52). One bounce of lookahead gives us the
+        # "incoming" element the recursion knew.
+        emitters = [
+            e for e in range(scene.n_spheres) if bool(np.asarray(scene.sph_has_em)[e])
+        ]
+        pd = st["dls"]
+        pend = pd["active"]
+        for e in emitters:
+            ec = Vec3(
+                jnp.float32(scene.sph_c[e, 0]),
+                jnp.float32(scene.sph_c[e, 1]),
+                jnp.float32(scene.sph_c[e, 2]),
+            )
+            d_l = v3.normalize(ec - pd["pos"], eps=1e-20)
+            light_dot = v3.dot(d_l, pd["norm"])
+            omit = (pd["self_idx"] == e) | ((kind == KIND_SPHERE) & (idx == e))
+            cand = pend & (light_dot > 0.0) & ~omit
+            ts, ks, is_, _, _ = closest_hit(scene, params, pd["pos"], d_l)
+            vis = (ks == KIND_SPHERE) & (is_ == e)
+            em_e = Vec3(
+                jnp.float32(scene.sph_emissive[e, 0]),
+                jnp.float32(scene.sph_emissive[e, 1]),
+                jnp.float32(scene.sph_emissive[e, 2]),
+            )
+            contrib = em_e * (light_dot * DLS_NORMZE)
+            L = L + v3.where(cand & vis, pd["ci"] * contrib, Vec3.zeros_like(t))
+
     if params.debug_single_ray:
         # first-hit emissive only (radiance.rs:31-33); skybox shows sky
         L = v3.where(active & hit, shade["emissive"], L)
         L = v3.where(active & miss, sky, L)
         new_active = jnp.zeros_like(new_active)
 
-    return dict(
+    out = dict(
         ro=v3.where(new_active, shade["pos"], ro),
         rd=v3.where(new_active, shade["new_d"], rd),
         L=L,
@@ -555,6 +591,15 @@ def _bounce_step(scene, params, st):
         active=new_active,
         bounce=st["bounce"] + new_active.astype(jnp.int32),
     )
+    if use_dls:
+        out["dls"] = dict(
+            active=new_active & shade["should_dls"],
+            pos=shade["pos"],
+            norm=shade["norm"],
+            ci=ci,
+            self_idx=jnp.where(kind == KIND_SPHERE, idx, -1),
+        )
+    return out
 
 
 def trace_paths(scene, params: IntegratorParams, ro: Vec3, rd: Vec3, rng_state):
@@ -576,6 +621,14 @@ def trace_paths(scene, params: IntegratorParams, ro: Vec3, rd: Vec3, rng_state):
         active=jnp.ones((n,), bool),
         bounce=jnp.zeros((n,), jnp.int32),
     )
+    if params.dir_light_samp and params.mode == "cpu" and scene.n_spheres:
+        st["dls"] = dict(
+            active=jnp.zeros((n,), bool),
+            pos=Vec3(zero, zero, zero),
+            norm=Vec3(zero, zero, zero),
+            ci=Vec3(one, one, one),
+            self_idx=jnp.full((n,), -1, jnp.int32),
+        )
     max_b = 1 if params.debug_single_ray else params.max_bounces
 
     if params.differentiable:
