@@ -80,6 +80,13 @@ class SceneArrays:
     mt_metal: Any  # (M,)
     mt_rough: Any  # (M,)
     mt_valid: Any  # (M,) bool
+    # --- mesh clusters (accel): cluster-major dense views ---
+    cl_v0: Any  # (C, W, 3)
+    cl_e1: Any
+    cl_e2: Any
+    cl_idx: Any  # (C, W) i32 global mesh-tri id, -1 pad
+    cl_lo: Any  # (C, 3) cluster AABB
+    cl_hi: Any
     # --- cubemap ---
     cm_offsets: Any  # (6,) i32
     cm_dims: Any  # (6, 2) i32 (w, h)
@@ -92,6 +99,7 @@ class SceneArrays:
     n_mesh_tris: int = flax.struct.field(pytree_node=False, default=0)
     has_cubemap: bool = flax.struct.field(pytree_node=False, default=False)
     any_textured: bool = flax.struct.field(pytree_node=False, default=False)
+    n_clusters: int = flax.struct.field(pytree_node=False, default=0)
 
 
 def _pad_to(n: int, mult: int) -> int:
@@ -376,6 +384,30 @@ def build_scene(scheme: Scheme, pad_mult: int = 2048, pad_small: int = 8) -> Sce
     )
 
     if mt:
+        # acceleration clusters over the ORIGINAL (unpadded) triangles:
+        # cluster-major dense copies so the integrator's culled path
+        # needs no per-lane gathers (TPU-native replacement for the
+        # KD traversal the reference never finished on GPU,
+        # trace.wgsl:664-667 stub / README.md:151-154)
+        from ..accel import build_kdtree
+
+        v0, v1, v2 = mt["v0"], mt["v1"], mt["v2"]
+        lo3 = np.minimum(np.minimum(v0, v1), v2).astype(np.float32)
+        hi3 = np.maximum(np.maximum(v0, v1), v2).astype(np.float32)
+        depth = int(np.ceil(np.log2(max(M / 48.0, 1.0)))) + 6
+        tree = build_kdtree(lo3, hi3, max_depth=min(depth, 26), leaf_target=64)
+        cp = tree.cluster_prims  # (C, W) with -1 padding
+        safe = np.maximum(cp, 0)
+        kw.update(
+            cl_v0=v0[safe].astype(np.float32),
+            cl_e1=(v1 - v0)[safe].astype(np.float32),
+            cl_e2=(v2 - v0)[safe].astype(np.float32),
+            cl_idx=cp.astype(np.int32),
+            cl_lo=tree.cluster_lo,
+            cl_hi=tree.cluster_hi,
+            n_clusters=int(cp.shape[0]),
+        )
+
         any_tex = bool(
             (mt["rgb_tex"][:, 1] > 0).any()
             or (mt["norm_tex"][:, 1] > 0).any()
@@ -404,6 +436,11 @@ def build_scene(scheme: Scheme, pad_mult: int = 2048, pad_small: int = 8) -> Sce
     else:
         z3 = np.zeros((0, 3), np.float32)
         kw.update(
+            cl_v0=np.zeros((0, 8, 3), np.float32),
+            cl_e1=np.zeros((0, 8, 3), np.float32),
+            cl_e2=np.zeros((0, 8, 3), np.float32),
+            cl_idx=np.zeros((0, 8), np.int32),
+            cl_lo=z3, cl_hi=z3,
             mt_v0=z3, mt_e1=z3, mt_e2=z3, mt_const_norm=z3,
             mt_nrm_mat=np.zeros((0, 3, 3), np.float32),
             mt_norm_scale=np.zeros((0,), np.float32),

@@ -73,6 +73,10 @@ class IntegratorParams:
     dir_light_samp: bool = flax.struct.field(pytree_node=False, default=False)
     mesh_chunk: int = flax.struct.field(pytree_node=False, default=2048)
     differentiable: bool = flax.struct.field(pytree_node=False, default=False)
+    # cluster-culled mesh traversal (accel/): tiles of rays skip whole
+    # clusters whose AABB no ray in the tile reaches
+    use_clusters: bool = flax.struct.field(pytree_node=False, default=True)
+    ray_tile: int = flax.struct.field(pytree_node=False, default=8192)
 
 
 # ---------------------------------------------------------------------------
@@ -125,6 +129,91 @@ def _triangle_t(ro: Vec3, rd: Vec3, p0: Vec3, e1: Vec3, e2: Vec3, valid):
     return jnp.where(ok, t, INF), u, w
 
 
+def _mesh_hit_clusters(scene, params, ro: Vec3, rd: Vec3, t_seed):
+    """Cluster-culled mesh intersection (TPU-native replacement for the
+    KD traversal the reference left stubbed on GPU, trace.wgsl:664-667):
+    rays are processed in coherent tiles; for each cluster, a cheap
+    slab test against the cluster AABB decides (lax.cond) whether the
+    tile runs the (W, T) Möller–Trumbore block at all, and the entry-t
+    is pruned against the tile's current best. t_seed carries the
+    sphere/free-tri best so occluded clusters prune too.
+
+    Returns (t, idx, u, v) with idx == -1 where no mesh triangle beat
+    t_seed."""
+    n = ro.x.shape[0]
+    T = params.ray_tile if n % params.ray_tile == 0 else n
+    n_tiles = n // T
+    C = scene.n_clusters
+    guard = 20.0 * EPS if params.mode == "cpu" else None
+
+    def one_tile(args):
+        ro_t, rd_t, seed_t = args
+
+        def cluster_body(c, best):
+            bt, bi, bu_, bv_ = best
+            lo = jax.lax.dynamic_index_in_dim(scene.cl_lo, c, 0, keepdims=False)
+            hi = jax.lax.dynamic_index_in_dim(scene.cl_hi, c, 0, keepdims=False)
+            # slab entry/exit (aabb.rs:25-63)
+            entry = jnp.full_like(bt, -INF)
+            exit_ = jnp.full_like(bt, INF)
+            for axis, (o_a, d_a) in enumerate(
+                [(ro_t.x, rd_t.x), (ro_t.y, rd_t.y), (ro_t.z, rd_t.z)]
+            ):
+                d_c = jnp.where(jnp.abs(d_a) < EPS, jnp.where(d_a < 0.0, -EPS, EPS), d_a)
+                f = 1.0 / d_c
+                t0 = (lo[axis] - o_a) * f
+                t1 = (hi[axis] - o_a) * f
+                entry = jnp.maximum(entry, jnp.minimum(t0, t1))
+                exit_ = jnp.minimum(exit_, jnp.maximum(t0, t1))
+            reach = (entry <= exit_) & (exit_ >= 0.0) & (entry < bt)
+            any_reach = jnp.any(reach)
+
+            def test(best):
+                bt, bi, bu_, bv_ = best
+                v0c = jax.lax.dynamic_index_in_dim(scene.cl_v0, c, 0, keepdims=False)
+                e1c = jax.lax.dynamic_index_in_dim(scene.cl_e1, c, 0, keepdims=False)
+                e2c = jax.lax.dynamic_index_in_dim(scene.cl_e2, c, 0, keepdims=False)
+                ids = jax.lax.dynamic_index_in_dim(scene.cl_idx, c, 0, keepdims=False)
+                ts, us, ws = _triangle_t(
+                    ro_t, rd_t, _cols(v0c), _cols(e1c), _cols(e2c), (ids >= 0)[:, None]
+                )
+                if guard is not None:
+                    ts = jnp.where(ts >= guard, ts, INF)
+                tmin = jnp.min(ts, axis=0)
+                aw = jnp.argmin(ts, axis=0).astype(jnp.int32)
+                g = lambda a: jnp.take_along_axis(a, aw[None, :], axis=0)[0]
+                better = tmin < bt
+                return (
+                    jnp.where(better, tmin, bt),
+                    jnp.where(better, jnp.take(ids, aw), bi),
+                    jnp.where(better, g(us), bu_),
+                    jnp.where(better, g(ws), bv_),
+                )
+
+            return jax.lax.cond(any_reach, test, lambda b: b, (bt, bi, bu_, bv_))
+
+        init = (
+            seed_t,
+            jnp.full((T,), -1, jnp.int32),
+            jnp.zeros((T,)),
+            jnp.zeros((T,)),
+        )
+        return jax.lax.fori_loop(0, C, cluster_body, init)
+
+    if n_tiles == 1:
+        return one_tile((ro, rd, t_seed))
+
+    resh = lambda a: a.reshape(n_tiles, T)
+    ros = Vec3(resh(ro.x), resh(ro.y), resh(ro.z))
+    rds = Vec3(resh(rd.x), resh(rd.y), resh(rd.z))
+
+    def scan_body(_, tile_args):
+        return None, one_tile(tile_args)
+
+    _, (tt, ti, tu, tv) = jax.lax.scan(scan_body, None, (ros, rds, resh(t_seed)))
+    return tt.reshape(n), ti.reshape(n), tu.reshape(n), tv.reshape(n)
+
+
 def closest_hit(scene, params, ro: Vec3, rd: Vec3):
     """Brute-force nearest hit over spheres, free triangles, mesh
     triangles, in the reference GPU's evaluation order
@@ -174,6 +263,16 @@ def closest_hit(scene, params, ro: Vec3, rd: Vec3):
         bv = jnp.where(better, g(ws), bv)
 
     m = scene.mt_v0.shape[0]
+    if m and scene.n_clusters and params.use_clusters:
+        mt_t, mt_i, mt_u, mt_v = _mesh_hit_clusters(scene, params, ro, rd, t_best)
+        mesh_won = mt_i >= 0
+        t_best = jnp.where(mesh_won, mt_t, t_best)
+        kind = jnp.where(mesh_won, KIND_MESHTRI, kind)
+        idx = jnp.where(mesh_won, mt_i, idx)
+        bu = jnp.where(mesh_won, mt_u, bu)
+        bv = jnp.where(mesh_won, mt_v, bv)
+        return t_best, kind, idx, bu, bv
+
     if m:
         chunk = min(params.mesh_chunk, m)
         if m % chunk:
