@@ -69,19 +69,123 @@ def build_kdtree(
     leaf_target: int = 64,
     axis_mode: int = 0,
     native: bool = True,
+    coalesce: bool = True,
 ) -> KdTree:
     """aabb_lo/hi: (M, 3) f32 per-primitive bounds. axis_mode 0 =
     widest-axis/median (default), 1 = the reference's depth%3 / mean
-    policy (kdtree.rs:113-116)."""
+    policy (kdtree.rs:113-116).
+
+    With coalesce=True (default) the cluster view is re-binned: leaves
+    in DFS order (spatially local) are packed+deduped into clusters of
+    ~leaf_target primitives — straddler duplication otherwise fragments
+    real meshes into thousands of nearly-empty leaves, and cluster
+    COUNT is what the TPU culled-traversal loop pays for."""
     lo = np.ascontiguousarray(aabb_lo, np.float32)
     hi = np.ascontiguousarray(aabb_hi, np.float32)
     m = lo.shape[0]
+    tree = None
     if native:
         try:
-            return _build_native(lo, hi, m, max_depth, leaf_target, axis_mode)
+            tree = _build_native(lo, hi, m, max_depth, leaf_target, axis_mode)
         except Exception:
             pass
-    return _build_numpy(lo, hi, max_depth, leaf_target, axis_mode)
+    if tree is None:
+        tree = _build_numpy(lo, hi, max_depth, leaf_target, axis_mode)
+    if coalesce:
+        tree = _coalesce_clusters(tree, lo, hi, leaf_target)
+    return tree
+
+
+def _coalesce_clusters(tree: KdTree, lo: np.ndarray, hi: np.ndarray, target: int) -> KdTree:
+    """Re-bin the cluster view: walk leaves in node order, accumulate
+    deduped primitive ids, flush a cluster when it reaches target."""
+    bins = []
+    cur: list = []
+    seen: set = set()
+    order = np.argsort(tree.node_leaf_off[tree.node_axis < 0])
+    leaf_nodes = np.where(tree.node_axis < 0)[0][order]
+    for nid in leaf_nodes:
+        off = tree.node_leaf_off[nid]
+        ln = tree.node_leaf_len[nid]
+        for p in tree.leaf_prims[off : off + ln]:
+            if p not in seen:
+                seen.add(p)
+                cur.append(p)
+        if len(cur) >= target:
+            bins.append(cur)
+            cur = []
+            seen = set()
+    if cur:
+        bins.append(cur)
+    if not bins:
+        bins = [[]]
+    width = max(target, max(len(b) for b in bins))
+    width = ((width + 7) // 8) * 8
+    cp = np.full((len(bins), width), -1, np.int32)
+    cl = np.zeros((len(bins), 3), np.float32)
+    ch = np.zeros((len(bins), 3), np.float32)
+    for i, b in enumerate(bins):
+        arr = np.asarray(b, np.int32)
+        cp[i, : arr.size] = arr
+        if arr.size:
+            cl[i] = lo[arr].min(0)
+            ch[i] = hi[arr].max(0)
+    return KdTree(
+        node_axis=tree.node_axis, node_split=tree.node_split,
+        node_left=tree.node_left, node_right=tree.node_right,
+        node_leaf_off=tree.node_leaf_off, node_leaf_len=tree.node_leaf_len,
+        leaf_prims=tree.leaf_prims,
+        cluster_prims=cp, cluster_lo=cl, cluster_hi=ch,
+    )
+
+
+def build_clusters_bvh(
+    aabb_lo: np.ndarray, aabb_hi: np.ndarray, leaf_target: int = 64
+):
+    """BVH-style clustering: recursive EXACT median partition of
+    primitive centroids along the widest axis (no straddler
+    duplication — each primitive lands in exactly one cluster; cluster
+    AABBs may overlap, which culling handles naturally). Balanced:
+    n_clusters = ceil(M / leaf_target)-ish, every cluster full.
+
+    Returns (cluster_prims (C, W) i32 -1-padded, cluster_lo, cluster_hi).
+    Preferred over the kd build for the TPU culled-traversal path —
+    spatial straddler duplication fragments real meshes (observed 16x
+    duplication on the reference's biplane asset)."""
+    lo = np.ascontiguousarray(aabb_lo, np.float32)
+    hi = np.ascontiguousarray(aabb_hi, np.float32)
+    cent = 0.5 * (lo + hi)
+    leaves = []
+
+    def rec(ids: np.ndarray):
+        if ids.size <= leaf_target:
+            leaves.append(ids)
+            return
+        c = cent[ids]
+        axis = int(np.argmax(c.max(0) - c.min(0)))
+        mid = ids.size // 2
+        part = np.argpartition(c[:, axis], mid)
+        rec(ids[part[:mid]])
+        rec(ids[part[mid:]])
+
+    import sys
+
+    old = sys.getrecursionlimit()
+    sys.setrecursionlimit(10000)
+    try:
+        rec(np.arange(lo.shape[0], dtype=np.int32))
+    finally:
+        sys.setrecursionlimit(old)
+
+    width = ((leaf_target + 7) // 8) * 8
+    cp = np.full((len(leaves), width), -1, np.int32)
+    cl = np.zeros((len(leaves), 3), np.float32)
+    ch = np.zeros((len(leaves), 3), np.float32)
+    for i, ids in enumerate(leaves):
+        cp[i, : ids.size] = ids
+        cl[i] = lo[ids].min(0)
+        ch[i] = hi[ids].max(0)
+    return cp, cl, ch
 
 
 def _build_native(lo, hi, m, max_depth, leaf_target, axis_mode) -> KdTree:

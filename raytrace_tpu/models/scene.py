@@ -389,22 +389,20 @@ def build_scene(scheme: Scheme, pad_mult: int = 2048, pad_small: int = 8) -> Sce
         # needs no per-lane gathers (TPU-native replacement for the
         # KD traversal the reference never finished on GPU,
         # trace.wgsl:664-667 stub / README.md:151-154)
-        from ..accel import build_kdtree
+        from ..accel.builder import build_clusters_bvh
 
         v0, v1, v2 = mt["v0"], mt["v1"], mt["v2"]
         lo3 = np.minimum(np.minimum(v0, v1), v2).astype(np.float32)
         hi3 = np.maximum(np.maximum(v0, v1), v2).astype(np.float32)
-        depth = int(np.ceil(np.log2(max(M / 48.0, 1.0)))) + 6
-        tree = build_kdtree(lo3, hi3, max_depth=min(depth, 26), leaf_target=64)
-        cp = tree.cluster_prims  # (C, W) with -1 padding
+        cp, cl_lo, cl_hi = build_clusters_bvh(lo3, hi3, leaf_target=64)
         safe = np.maximum(cp, 0)
         kw.update(
             cl_v0=v0[safe].astype(np.float32),
             cl_e1=(v1 - v0)[safe].astype(np.float32),
             cl_e2=(v2 - v0)[safe].astype(np.float32),
             cl_idx=cp.astype(np.int32),
-            cl_lo=tree.cluster_lo,
-            cl_hi=tree.cluster_hi,
+            cl_lo=cl_lo,
+            cl_hi=cl_hi,
             n_clusters=int(cp.shape[0]),
         )
 

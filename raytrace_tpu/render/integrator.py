@@ -77,6 +77,8 @@ class IntegratorParams:
     # clusters whose AABB no ray in the tile reaches
     use_clusters: bool = flax.struct.field(pytree_node=False, default=True)
     ray_tile: int = flax.struct.field(pytree_node=False, default=8192)
+    # Pallas mesh closest-hit kernel (TPU; gpu semantics, forward only)
+    mesh_kernel: bool = flax.struct.field(pytree_node=False, default=False)
 
 
 # ---------------------------------------------------------------------------
@@ -214,10 +216,14 @@ def _mesh_hit_clusters(scene, params, ro: Vec3, rd: Vec3, t_seed):
     return tt.reshape(n), ti.reshape(n), tu.reshape(n), tv.reshape(n)
 
 
-def closest_hit(scene, params, ro: Vec3, rd: Vec3):
+def closest_hit(scene, params, ro: Vec3, rd: Vec3, active=None):
     """Brute-force nearest hit over spheres, free triangles, mesh
     triangles, in the reference GPU's evaluation order
-    (trace.wgsl:389-444). All returns are (N,)."""
+    (trace.wgsl:389-444). All returns are (N,). `active` (optional
+    bool mask): dead lanes are seeded with -INF so the culled mesh
+    paths skip their (stale) rays entirely — the bounce loop iterates
+    until ALL lanes die, and without this the dead majority keeps
+    re-testing the mesh every iteration."""
     n = ro.x.shape[0]
     t_best = jnp.full((n,), INF)
     kind = jnp.zeros((n,), jnp.int32)
@@ -263,8 +269,52 @@ def closest_hit(scene, params, ro: Vec3, rd: Vec3):
         bv = jnp.where(better, g(ws), bv)
 
     m = scene.mt_v0.shape[0]
+    if (
+        m
+        and scene.n_clusters
+        and params.mesh_kernel
+        and params.mode == "gpu"  # kernel omits the cpu 20*EPS guard
+        and not params.differentiable
+        and n % 1024 == 0
+    ):
+        from ..ops.pallas.mesh_hit_kernel import mesh_hit_tiles
+
+        t_seed = t_best if active is None else jnp.where(active, t_best, -INF)
+
+        C = scene.n_clusters
+        Wd = scene.cl_idx.shape[1]
+        bounds = jnp.concatenate(
+            [scene.cl_lo, scene.cl_hi, jnp.zeros((C, 2), jnp.float32)], axis=1
+        )
+        tri = jnp.concatenate(
+            [
+                scene.cl_v0.reshape(C * Wd, 3),
+                scene.cl_e1.reshape(C * Wd, 3),
+                scene.cl_e2.reshape(C * Wd, 3),
+            ],
+            axis=1,
+        )
+        idxt = scene.cl_idx.reshape(C * Wd, 1)
+        rows = n // 128
+        resh = lambda a: a.reshape(rows, 128)
+        tt, ti, tu, tv = mesh_hit_tiles(
+            resh(ro.x), resh(ro.y), resh(ro.z),
+            resh(rd.x), resh(rd.y), resh(rd.z),
+            resh(t_seed), bounds, tri, idxt,
+            n_clusters=C, width=Wd,
+        )
+        tt, ti, tu, tv = tt.reshape(n), ti.reshape(n), tu.reshape(n), tv.reshape(n)
+        mesh_won = ti >= 0
+        t_best = jnp.where(mesh_won, tt, t_best)
+        kind = jnp.where(mesh_won, KIND_MESHTRI, kind)
+        idx = jnp.where(mesh_won, ti, idx)
+        bu = jnp.where(mesh_won, tu, bu)
+        bv = jnp.where(mesh_won, tv, bv)
+        return t_best, kind, idx, bu, bv
+
     if m and scene.n_clusters and params.use_clusters:
-        mt_t, mt_i, mt_u, mt_v = _mesh_hit_clusters(scene, params, ro, rd, t_best)
+        t_seed = t_best if active is None else jnp.where(active, t_best, -INF)
+        mt_t, mt_i, mt_u, mt_v = _mesh_hit_clusters(scene, params, ro, rd, t_seed)
         mesh_won = mt_i >= 0
         t_best = jnp.where(mesh_won, mt_t, t_best)
         kind = jnp.where(mesh_won, KIND_MESHTRI, kind)
@@ -582,7 +632,7 @@ def _bounce_step(scene, params, st):
     """One bounce for all lanes. st is the lane-state dict of (N,)
     arrays / Vec3s."""
     ro, rd = st["ro"], st["rd"]
-    t, kind, idx, bu, bv = closest_hit(scene, params, ro, rd)
+    t, kind, idx, bu, bv = closest_hit(scene, params, ro, rd, active=st["active"])
     if scene.n_mesh_tris:
         state, draws = rng.next_f32_n(st["rng"], 8)
         u7 = draws[7]

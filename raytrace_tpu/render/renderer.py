@@ -210,6 +210,9 @@ class Renderer:
         if m:
             mesh_chunk = min(mesh_chunk, m)
         self.params = _params_from_scheme(scheme, self.mode, False, mesh_chunk)
+        if jax.default_backend() != "cpu":
+            # Pallas mesh closest-hit kernel (gpu semantics, forward)
+            self.params = self.params.replace(mesh_kernel=True)
         self.camera = build_camera(scheme.cam, self.width, self.height)
         self.cam_arrays = camera_to_arrays(self.camera)
         self.target = RenderTarget(self.width, self.height)
@@ -223,10 +226,22 @@ class Renderer:
         self.spd = samples_per_dispatch or (4 if self.use_fused else 1)
 
         n_pix = self.width * self.height
+        # lane order: 32x32 pixel tiles, NOT scanlines — consecutive
+        # 1024-lane blocks are spatially square so cluster-culling's
+        # per-block slab tests actually skip (a scanline block crosses
+        # the whole image and skips nothing). Results are unscrambled
+        # on accumulation via _perm.
+        ys_all, xs_all = np.divmod(np.arange(n_pix, dtype=np.int64), self.width)
+        tiles_x = -(-self.width // 32)
+        tile_id = (ys_all // 32) * tiles_x + (xs_all // 32)
+        within = (ys_all % 32) * 32 + (xs_all % 32)
+        self._perm = np.lexsort((within, tile_id)).astype(np.int64)
+
         n_tiles = -(-n_pix // self.tile_size)
         pad = n_tiles * self.tile_size - n_pix
-        flat = np.arange(n_pix + pad, dtype=np.int32)
-        flat = np.minimum(flat, n_pix - 1)  # clamp tail tile
+        flat = np.concatenate(
+            [self._perm, np.full(pad, self._perm[-1], np.int64)]
+        ).astype(np.int32)
         self._pad = pad
         self._x_idx = (flat % self.width).reshape(n_tiles, self.tile_size)
         self._y_idx = (flat // self.width).reshape(n_tiles, self.tile_size)
@@ -241,7 +256,10 @@ class Renderer:
             unit = lane_unit // self.spd
             padded_npix = -(-n_pix // unit) * unit
             lane = np.arange(padded_npix * self.spd)
-            lane_pix = np.minimum(lane % padded_npix, n_pix - 1)
+            pix_order = np.concatenate(
+                [self._perm, np.full(padded_npix - n_pix, self._perm[-1], np.int64)]
+            )
+            lane_pix = pix_order[lane % padded_npix]
             rep = lane // padded_npix
             rows = lane.size // tk.LANES
             self._fxs = jnp.asarray((lane_pix % self.width).astype(np.int32).reshape(rows, tk.LANES))
@@ -312,7 +330,9 @@ class Renderer:
                     sample_base=jnp.int32(base),
                     n_samples=jnp.int32(n_f),
                 )
-                self.target.add(np.asarray(out)[:n_pix], n_f)
+                res = np.empty((n_pix, 3), np.float32)
+                res[self._perm] = np.asarray(out)[:n_pix]
+                self.target.add(res, n_f)
                 n = n_f
             else:
                 tile_sums = []
@@ -330,7 +350,9 @@ class Renderer:
                 flat = np.concatenate(tile_sums, axis=0)
                 if self._pad:
                     flat = flat[:n_pix]
-                self.target.add(flat, n)
+                res = np.empty((n_pix, 3), np.float32)
+                res[self._perm] = flat
+                self.target.add(res, n)
             if bar is not None:
                 bar.update(n)
             if update_hook is not None:
