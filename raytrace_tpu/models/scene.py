@@ -80,6 +80,11 @@ class SceneArrays:
     mt_metal: Any  # (M,)
     mt_rough: Any  # (M,)
     mt_valid: Any  # (M,) bool
+    # --- packed per-triangle attribute matrix: ONE row-gather per
+    # bounce instead of ~40 scalar gathers (column layout in
+    # integrator._MT_ATTR) ---
+    mt_attr: Any  # (M, 48) f32
+    mt_desc: Any  # (M, 9) i32: rgb/norm/mr texture [off, w, h]
     # --- mesh clusters (accel): cluster-major dense views ---
     cl_v0: Any  # (C, W, 3)
     cl_e1: Any
@@ -411,6 +416,25 @@ def build_scene(scheme: Scheme, pad_mult: int = 2048, pad_small: int = 8) -> Sce
             or (mt["norm_tex"][:, 1] > 0).any()
             or (mt["mr_tex"][:, 1] > 0).any()
         )
+        # packed attribute matrix (see integrator._MT_ATTR for layout)
+        attr = np.zeros((M, 48), np.float32)
+        attr[:, 0:3] = mt["const_norm"]
+        attr[:, 3:12] = mt["nrm_mat"].reshape(M, 9)
+        attr[:, 12] = mt["norm_scale"]
+        attr[:, 13:16] = mt["rgb_factor"]
+        attr[:, 16] = mt["metal"]
+        attr[:, 17] = mt["rough"]
+        attr[:, 18] = mt["has_norm_map"].astype(np.float32)
+        attr[:, 19:25] = mt["uv_rgb"].reshape(M, 6)
+        attr[:, 25:31] = mt["uv_norm"].reshape(M, 6)
+        attr[:, 31:37] = mt["uv_mr"].reshape(M, 6)
+        desc = np.concatenate(
+            [mt["rgb_tex"], mt["norm_tex"], mt["mr_tex"]], axis=1
+        ).astype(np.int32)
+        kw.update(
+            mt_attr=_pad(attr, Mp),
+            mt_desc=_pad(desc, Mp),
+        )
         kw.update(
             mt_v0=_pad(mt["v0"].astype(np.float32), Mp),
             mt_e1=_pad((mt["v1"] - mt["v0"]).astype(np.float32), Mp),
@@ -434,6 +458,8 @@ def build_scene(scheme: Scheme, pad_mult: int = 2048, pad_small: int = 8) -> Sce
     else:
         z3 = np.zeros((0, 3), np.float32)
         kw.update(
+            mt_attr=np.zeros((0, 48), np.float32),
+            mt_desc=np.zeros((0, 9), np.int32),
             cl_v0=np.zeros((0, 8, 3), np.float32),
             cl_e1=np.zeros((0, 8, 3), np.float32),
             cl_e2=np.zeros((0, 8, 3), np.float32),

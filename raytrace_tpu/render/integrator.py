@@ -472,8 +472,21 @@ def sample_cubemap(scene, rd: Vec3) -> Vec3:
     vs = _tk(scene.cm_uv_scales[:, 1], face)
     su = 0.5 * (u * us / fact) + 0.5
     sv = 0.5 * (w * vs / fact) + 0.5
-    desc = jnp.concatenate([scene.cm_offsets[:, None], scene.cm_dims], axis=1)
-    return _sample_tex_soa(scene.tex_pool, desc, face, su, sv)
+    off = _tk(scene.cm_offsets, face)
+    wid = _tk(scene.cm_dims[:, 0], face)
+    hei = _tk(scene.cm_dims[:, 1], face)
+    wf = wid.astype(jnp.float32)
+    hf = hei.astype(jnp.float32)
+    px = jnp.clip(su * wf, 0.0, jnp.maximum(wf - 1.0, 0.0)).astype(jnp.int32)
+    py = jnp.clip(sv * hf, 0.0, jnp.maximum(hf - 1.0, 0.0)).astype(jnp.int32)
+    ok = wid > 0
+    base3 = jnp.where(ok, off + 3 * (px + py * wid), 0)
+    z = jnp.float32(0.0)
+    return Vec3(
+        jnp.where(ok, jnp.take(scene.tex_pool, base3, mode="clip"), z),
+        jnp.where(ok, jnp.take(scene.tex_pool, base3 + 1, mode="clip"), z),
+        jnp.where(ok, jnp.take(scene.tex_pool, base3 + 2, mode="clip"), z),
+    )
 
 
 def _shade_hit(scene, params, ro: Vec3, rd: Vec3, t, kind, idx, bu, bv, draws):
@@ -529,53 +542,71 @@ def _shade_hit(scene, params, ro: Vec3, rd: Vec3, t, kind, idx, bu, bv, draws):
         n_in = jnp.where(is_ft, _tk(scene.ft_n_in, fi), n_in)
 
     # --- mesh-triangle fields ---
+    # ONE row-gather of the packed attribute matrix (layout below) and
+    # one of the texture descriptors replace ~40 scalar gathers — the
+    # per-bounce gather count was the mesh-scene bottleneck on TPU.
+    # _MT_ATTR columns: 0:3 const_norm | 3:12 nrm_mat row-major |
+    # 12 norm_scale | 13:16 rgb_factor | 16 metal | 17 rough |
+    # 18 has_norm_map | 19:25 uv_rgb | 25:31 uv_norm | 31:37 uv_mr
     if scene.n_mesh_tris:
         mi = jnp.clip(idx, 0, scene.mt_v0.shape[0] - 1)
-        mt_const_norm = v3.take(scene.mt_const_norm, mi)
+        attr = jnp.take(scene.mt_attr, mi, axis=0)  # (N, 48)
+        a = lambda j: attr[:, j]
+        mt_const_norm = Vec3(a(0), a(1), a(2))
         if scene.any_textured:
-            has_nm = _tk(scene.mt_has_norm_map, mi)
-            nscale = _tk(scene.mt_norm_scale, mi)
-            uvn_u, uvn_v = _interp_uv_soa(scene.mt_uv_norm, mi, bu, bv)
+            desc = jnp.take(scene.mt_desc, mi, axis=0)  # (N, 9)
+            b0 = 1.0 - bu - bv
+
+            def interp(base):
+                # barycentric uv (mesh/triangle.rs:228-237)
+                uu = b0 * a(base) + bu * a(base + 2) + bv * a(base + 4)
+                vv = b0 * a(base + 1) + bu * a(base + 3) + bv * a(base + 5)
+                return uu, vv
+
+            def fetch(d0, uu, vv):
+                # nearest-neighbor texel fetch (uv_image.rs:10-23); the
+                # pool stays FLAT — an (T, 3) view would be (8,128)-
+                # tiled in HBM, padding the minor dim 42x
+                off, wid, hei = desc[:, d0], desc[:, d0 + 1], desc[:, d0 + 2]
+                wf = wid.astype(jnp.float32)
+                hf = hei.astype(jnp.float32)
+                px = jnp.clip(uu * wf, 0.0, jnp.maximum(wf - 1.0, 0.0)).astype(jnp.int32)
+                py = jnp.clip(vv * hf, 0.0, jnp.maximum(hf - 1.0, 0.0)).astype(jnp.int32)
+                ok = wid > 0
+                base3 = jnp.where(ok, off + 3 * (px + py * wid), 0)
+                z = jnp.float32(0.0)
+                return ok, Vec3(
+                    jnp.where(ok, jnp.take(scene.tex_pool, base3, mode="clip"), z),
+                    jnp.where(ok, jnp.take(scene.tex_pool, base3 + 1, mode="clip"), z),
+                    jnp.where(ok, jnp.take(scene.tex_pool, base3 + 2, mode="clip"), z),
+                )
+
             # raw [0,1] texel used as the tangent-space vector — parity
             # with mesh/triangle.rs:149-151 (no 2x-1 remap)
-            ntexel = _sample_tex_soa(scene.tex_pool, scene.mt_norm_tex, mi, uvn_u, uvn_v)
-            nm = scene.mt_nrm_mat  # (M, 3, 3)
-            mx = (
-                _tk(nm[:, 0, 0], mi) * ntexel.x
-                + _tk(nm[:, 0, 1], mi) * ntexel.y
-                + _tk(nm[:, 0, 2], mi) * ntexel.z
-            )
-            my = (
-                _tk(nm[:, 1, 0], mi) * ntexel.x
-                + _tk(nm[:, 1, 1], mi) * ntexel.y
-                + _tk(nm[:, 1, 2], mi) * ntexel.z
-            )
-            mz = (
-                _tk(nm[:, 2, 0], mi) * ntexel.x
-                + _tk(nm[:, 2, 1], mi) * ntexel.y
-                + _tk(nm[:, 2, 2], mi) * ntexel.z
-            )
-            mapped = v3.normalize(Vec3(mx, my, mz) * nscale, eps=1e-20)
-            mt_norm = v3.where(has_nm, mapped, mt_const_norm)
+            uvn_u, uvn_v = interp(25)
+            _, ntexel = fetch(3, uvn_u, uvn_v)
+            mx = a(3) * ntexel.x + a(4) * ntexel.y + a(5) * ntexel.z
+            my = a(6) * ntexel.x + a(7) * ntexel.y + a(8) * ntexel.z
+            mz = a(9) * ntexel.x + a(10) * ntexel.y + a(11) * ntexel.z
+            mapped = v3.normalize(Vec3(mx, my, mz) * a(12), eps=1e-20)
+            mt_norm = v3.where(a(18) > 0.5, mapped, mt_const_norm)
 
-            uvr_u, uvr_v = _interp_uv_soa(scene.mt_uv_rgb, mi, bu, bv)
-            rtexel = _sample_tex_soa(scene.tex_pool, scene.mt_rgb_tex, mi, uvr_u, uvr_v)
-            has_rt = _tk(scene.mt_rgb_tex[:, 1], mi) > 0
+            uvr_u, uvr_v = interp(19)
+            has_rt, rtexel = fetch(0, uvr_u, uvr_v)
             texmul = v3.where(has_rt, rtexel, Vec3(one, one, one))
-            mt_rgb = v3.take(scene.mt_rgb_factor, mi) * texmul
+            mt_rgb = Vec3(a(13), a(14), a(15)) * texmul
 
-            uvm_u, uvm_v = _interp_uv_soa(scene.mt_uv_mr, mi, bu, bv)
-            mtexel = _sample_tex_soa(scene.tex_pool, scene.mt_mr_tex, mi, uvm_u, uvm_v)
-            has_mt_ = _tk(scene.mt_mr_tex[:, 1], mi) > 0
+            uvm_u, uvm_v = interp(31)
+            has_mt_, mtexel = fetch(6, uvm_u, uvm_v)
             # metal scales the BLUE channel, rough the GREEN
             # (mesh/triangle.rs:195-197 == trace.wgsl:1120-1123)
-            mt_metal = _tk(scene.mt_metal, mi) * jnp.where(has_mt_, mtexel.z, 1.0)
-            mt_rough = _tk(scene.mt_rough, mi) * jnp.where(has_mt_, mtexel.y, 1.0)
+            mt_metal = a(16) * jnp.where(has_mt_, mtexel.z, 1.0)
+            mt_rough = a(17) * jnp.where(has_mt_, mtexel.y, 1.0)
         else:
             mt_norm = mt_const_norm
-            mt_rgb = v3.take(scene.mt_rgb_factor, mi)
-            mt_metal = _tk(scene.mt_metal, mi)
-            mt_rough = _tk(scene.mt_rough, mi)
+            mt_rgb = Vec3(a(13), a(14), a(15))
+            mt_metal = a(16)
+            mt_rough = a(17)
         norm = v3.where(is_mt, mt_norm, norm)
         rgb = v3.where(is_mt, mt_rgb, rgb)
         metal = jnp.where(is_mt, mt_metal, metal)
@@ -649,15 +680,15 @@ def _bounce_step(scene, params, st):
     shade = _shade_hit(scene, params, ro, rd, t, kind, idx, bu, bv, draws[:7])
 
     L, ci, inten = st["L"], st["ci"], st["inten"]
-    if scene.has_cubemap:
-        sky = sample_cubemap(scene, rd)
-    else:
-        sky = Vec3.zeros_like(t)
 
     if params.mode == "gpu":
-        # -- miss: cubemap emissive, terminate (trace.wgsl:437-444) --
+        # -- miss: record for the post-loop cubemap resolve (a lane
+        # misses at most once; sampling the cubemap in-loop would
+        # gather for every lane every bounce) --
         add_sky = active & miss
-        L = L + v3.where(add_sky, sky * ci * inten, Vec3.zeros_like(t))
+        if scene.has_cubemap:
+            st["miss_d"] = v3.where(add_sky, rd, st["miss_d"])
+            st["miss_w"] = v3.where(add_sky, ci * inten, st["miss_w"])
         # -- emissive hit: add + extra colour multiply (wgsl:294-301) --
         add_em = active & hit & shade["has_em"]
         L = L + v3.where(add_em, shade["emissive"] * ci * inten, Vec3.zeros_like(t))
@@ -679,7 +710,9 @@ def _bounce_step(scene, params, st):
         if scene.has_cubemap:
             # skybox is the CPU's l=inf "unconditional" element: reached
             # when nothing finite hits; emissive added, path ends
-            L = L + v3.where(active & miss, sky * ci, Vec3.zeros_like(t))
+            # (recorded here, resolved once after the loop)
+            st["miss_d"] = v3.where(active & miss, rd, st["miss_d"])
+            st["miss_w"] = v3.where(active & miss, ci, st["miss_w"])
         L = L + v3.where(active & hit, shade["emissive"] * ci, Vec3.zeros_like(t))
         rr_due = st["bounce"] > params.assured_depth
         rr_pass = jnp.where(rr_due, u7 < CPU_RR_THRES, True)
@@ -726,6 +759,7 @@ def _bounce_step(scene, params, st):
 
     if params.debug_single_ray:
         # first-hit emissive only (radiance.rs:31-33); skybox shows sky
+        sky = sample_cubemap(scene, rd) if scene.has_cubemap else Vec3.zeros_like(t)
         L = v3.where(active & hit, shade["emissive"], L)
         L = v3.where(active & miss, sky, L)
         new_active = jnp.zeros_like(new_active)
@@ -740,6 +774,9 @@ def _bounce_step(scene, params, st):
         active=new_active,
         bounce=st["bounce"] + new_active.astype(jnp.int32),
     )
+    if scene.has_cubemap and not params.debug_single_ray:
+        out["miss_d"] = st["miss_d"]
+        out["miss_w"] = st["miss_w"]
     if use_dls:
         out["dls"] = dict(
             active=new_active & shade["should_dls"],
@@ -770,6 +807,9 @@ def trace_paths(scene, params: IntegratorParams, ro: Vec3, rd: Vec3, rng_state):
         active=jnp.ones((n,), bool),
         bounce=jnp.zeros((n,), jnp.int32),
     )
+    if scene.has_cubemap and not params.debug_single_ray:
+        st["miss_d"] = Vec3(zero, zero, zero)
+        st["miss_w"] = Vec3(zero, zero, zero)
     if params.dir_light_samp and params.mode == "cpu" and scene.n_spheres:
         st["dls"] = dict(
             active=jnp.zeros((n,), bool),
@@ -795,4 +835,12 @@ def trace_paths(scene, params: IntegratorParams, ro: Vec3, rd: Vec3, rng_state):
             return i + 1, _bounce_step(scene, params, st)
 
         _, st = jax.lax.while_loop(cond, body, (0, st))
-    return st["L"], st["rng"]
+    L = st["L"]
+    if scene.has_cubemap and not params.debug_single_ray:
+        # one cubemap resolve for the whole path (miss happens once)
+        mw = st["miss_w"]
+        missed = (mw.x > 0.0) | (mw.y > 0.0) | (mw.z > 0.0)
+        md = st["miss_d"]
+        sky = sample_cubemap(scene, v3.where(missed, md, Vec3.full_like(md.x, 1.0, 0.0, 0.0)))
+        L = L + v3.where(missed, mw * sky, Vec3.zeros_like(mw.x))
+    return L, st["rng"]

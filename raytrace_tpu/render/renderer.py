@@ -302,6 +302,11 @@ class Renderer:
         total = samples if samples is not None else info.samps_per_pix
         b = batch or info.render_batch or total
         b = max(1, min(b, total))
+        if self.scene.n_mesh_tris:
+            # long single dispatches on mesh scenes can trip the TPU
+            # runtime's watchdog (the reference had the same constraint
+            # on consumer GPUs, README.md:280-285) — keep them short
+            b = min(b, 2)
 
         it = range(0, total, b)
         bar = None
