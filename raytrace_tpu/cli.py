@@ -30,6 +30,7 @@ def main(argv=None):
                     help="reference-semantics mode (default: from use_gpu)")
     ap.add_argument("--out", default="render_out.png")
     ap.add_argument("--samples", type=int, default=None, help="override samps_per_pix")
+    ap.add_argument("--scale", type=int, default=1, help="divide width/height by this (smoke runs)")
     ap.add_argument("--checkpoint", default=None, help="save resume state here after each batch")
     ap.add_argument("--resume", default=None, help="resume from a checkpoint file")
     ap.add_argument("--platform", default=None, help="jax platform override (cpu/axon/tpu)")
@@ -51,6 +52,9 @@ def main(argv=None):
 
     scheme = load_scheme(args.scheme)
     info = scheme.render_info
+    if args.scale > 1:
+        info.width //= args.scale
+        info.height //= args.scale
 
     if info.animation:
         return _render_animation(scheme, args)

@@ -317,6 +317,9 @@ class Renderer:
                 bar = tqdm(total=total, desc="samples", unit="spp")
             except Exception:
                 bar = None
+        from ..utils.profiling import Throughput
+
+        meter = Throughput()
 
         scene_dev = jax.device_put(self.scene)
         n_pix = self.width * self.height
@@ -358,8 +361,10 @@ class Renderer:
                 res = np.empty((n_pix, 3), np.float32)
                 res[self._perm] = flat
                 self.target.add(res, n)
+            meter.add(n * n_pix)
             if bar is not None:
                 bar.update(n)
+                bar.set_postfix_str(f"{meter.mpaths_per_s:.1f} Mpaths/s")
             if update_hook is not None:
                 update_hook(self.target)
         if bar is not None:

@@ -1,0 +1,57 @@
+"""Golden statistical regressions: the counter-based RNG makes a
+fixed-sample render DETERMINISTIC, so channel means of reference
+schemes are exact regression anchors (recorded from verified renders
+that match the reference's committed images — see README Performance
+and the walled-vs-reference comparison)."""
+import os
+import sys
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from raytrace_tpu.models.config import load_scheme
+from raytrace_tpu.models.camera import build_camera
+from raytrace_tpu.models.scene import build_scene
+from raytrace_tpu.render.integrator import IntegratorParams
+from raytrace_tpu.render.renderer import camera_to_arrays, sample_batch
+
+SCHEMES = "/root/reference/schemes"
+
+
+def _render_mean(scheme_name, scale, spp, **params_kw):
+    path = os.path.join(SCHEMES, scheme_name)
+    if not os.path.exists(path):
+        pytest.skip("reference schemes unavailable")
+    scheme = load_scheme(path)
+    W = scheme.render_info.width // scale
+    H = scheme.render_info.height // scale
+    scene = build_scene(scheme)
+    cam = camera_to_arrays(build_camera(scheme.cam, W, H))
+    rr = scheme.render_info.rad_info.russ_roull_info
+    params = IntegratorParams(
+        assured_depth=rr.assured_depth, max_thres=jnp.float32(rr.max_thres), **params_kw
+    )
+    flat = np.arange(W * H, dtype=np.int32)
+    xs = jnp.asarray(flat % W)
+    ys = jnp.asarray(flat // W)
+    out = sample_batch(scene, cam, params, W, H, xs, ys, jnp.int32(0), jnp.int32(spp))
+    return np.asarray(out).mean(axis=0) / spp
+
+
+def test_walled_golden():
+    mean = _render_mean("walled.yml", 6, 16)
+    # recorded from the verified build whose full-res render matches
+    # the reference's committed 20000-spp PNG to <0.01/255 per channel
+    np.testing.assert_allclose(
+        mean, [0.464118, 0.342389, 0.48242], rtol=1e-4, atol=1e-4
+    )
+
+
+def test_spaceship_golden():
+    mean = _render_mean("spaceship_r1.yml", 6, 4)
+    np.testing.assert_allclose(
+        mean, [0.13673897, 0.1394094, 0.14574774], rtol=1e-4, atol=1e-4
+    )
