@@ -399,7 +399,11 @@ def build_scene(scheme: Scheme, pad_mult: int = 2048, pad_small: int = 8) -> Sce
         v0, v1, v2 = mt["v0"], mt["v1"], mt["v2"]
         lo3 = np.minimum(np.minimum(v0, v1), v2).astype(np.float32)
         hi3 = np.maximum(np.maximum(v0, v1), v2).astype(np.float32)
-        cp, cl_lo, cl_hi = build_clusters_bvh(lo3, hi3, leaf_target=64)
+        # adaptive cluster width: keep the cluster COUNT a few hundred
+        # (the culled traversal pays per-cluster slab tests every
+        # bounce) while widths stay VPU-friendly
+        leaf_target = int(max(64, min(512, M // 400)))
+        cp, cl_lo, cl_hi = build_clusters_bvh(lo3, hi3, leaf_target=leaf_target)
         safe = np.maximum(cp, 0)
         kw.update(
             cl_v0=v0[safe].astype(np.float32),

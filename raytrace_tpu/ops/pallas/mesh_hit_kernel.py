@@ -74,7 +74,9 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, seed_ref,
         def _():
             def tri_body(w, _):
                 base = c * width + w
-                tr = lambda j: tri_ref[base, j]
+                # tables are (9, C*W)/(1, C*W): big axis minor so VMEM
+                # tiling doesn't pad a 9-wide minor dim to 128 lanes
+                tr = lambda j: tri_ref[j, base]
                 e1x, e1y, e1z = tr(3), tr(4), tr(5)
                 e2x, e2y, e2z = tr(6), tr(7), tr(8)
                 pvx = dy * e2z - dz * e2y
@@ -90,7 +92,7 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, seed_ref,
                 qz = hx * e1y - hy * e1x
                 w_ = inv_det * (dx * qx + dy * qy + dz * qz)
                 t_i = inv_det * (e2x * qx + e2y * qy + e2z * qz)
-                gid = idx_ref[base, 0]
+                gid = idx_ref[0, base]
                 ok2 = ok & (u >= 0.0) & (u <= 1.0) & (w_ >= 0.0) & (u + w_ <= 1.0)
                 ok2 = ok2 & (t_i >= EPS) & (gid >= 0)
                 better = ok2 & (jnp.where(ok2, t_i, INF) < t_out[...])
@@ -108,20 +110,22 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, seed_ref,
 
 
 def pack_mesh_tables(scene):
-    """SceneArrays clusters -> (bounds (C, 8), tri (C*W, 9), idx (C*W, 1))."""
+    """SceneArrays clusters -> (bounds (C, 8), tri (9, C*W), idx (1, C*W)).
+    Big axis MINOR: VMEM tiles the minor dim to 128 lanes, so a 9-wide
+    minor dim would pad 14x (OOM at a380 scale)."""
     C = int(scene.n_clusters)
     W = int(scene.cl_idx.shape[1])
     bounds = np.zeros((max(C, 1), 8), np.float32)
     if C:
         bounds[:, 0:3] = np.asarray(scene.cl_lo)
         bounds[:, 3:6] = np.asarray(scene.cl_hi)
-    tri = np.zeros((max(C * W, 1), 9), np.float32)
-    idx = np.full((max(C * W, 1), 1), -1, np.int32)
+    tri = np.zeros((9, max(C * W, 1)), np.float32)
+    idx = np.full((1, max(C * W, 1)), -1, np.int32)
     if C:
-        tri[:, 0:3] = np.asarray(scene.cl_v0).reshape(C * W, 3)
-        tri[:, 3:6] = np.asarray(scene.cl_e1).reshape(C * W, 3)
-        tri[:, 6:9] = np.asarray(scene.cl_e2).reshape(C * W, 3)
-        idx[:, 0] = np.asarray(scene.cl_idx).reshape(C * W)
+        tri[0:3] = np.asarray(scene.cl_v0).reshape(C * W, 3).T
+        tri[3:6] = np.asarray(scene.cl_e1).reshape(C * W, 3).T
+        tri[6:9] = np.asarray(scene.cl_e2).reshape(C * W, 3).T
+        idx[0] = np.asarray(scene.cl_idx).reshape(C * W)
     return bounds, tri, idx
 
 

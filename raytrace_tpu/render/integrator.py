@@ -286,15 +286,17 @@ def closest_hit(scene, params, ro: Vec3, rd: Vec3, active=None):
         bounds = jnp.concatenate(
             [scene.cl_lo, scene.cl_hi, jnp.zeros((C, 2), jnp.float32)], axis=1
         )
+        # tables transposed: big axis minor (VMEM tiling pads the minor
+        # dim to 128 lanes — a 9-wide minor dim OOMs at a380 scale)
         tri = jnp.concatenate(
             [
-                scene.cl_v0.reshape(C * Wd, 3),
-                scene.cl_e1.reshape(C * Wd, 3),
-                scene.cl_e2.reshape(C * Wd, 3),
+                scene.cl_v0.reshape(C * Wd, 3).T,
+                scene.cl_e1.reshape(C * Wd, 3).T,
+                scene.cl_e2.reshape(C * Wd, 3).T,
             ],
-            axis=1,
+            axis=0,
         )
-        idxt = scene.cl_idx.reshape(C * Wd, 1)
+        idxt = scene.cl_idx.reshape(1, C * Wd)
         rows = n // 128
         resh = lambda a: a.reshape(rows, 128)
         tt, ti, tu, tv = mesh_hit_tiles(
