@@ -1,11 +1,32 @@
 """Pallas mesh closest-hit kernel: cluster-culled Möller–Trumbore with
-the whole mesh resident in VMEM.
+HBM-resident mesh data streamed per-cluster into VMEM.
 
 The XLA cluster-culled path pays ~0.1 ms per lax.cond iteration; here
 the cluster loop is a real in-kernel loop whose skip (@pl.when on the
-tile's slab test) costs nanoseconds. Mesh data sits in VMEM for the
-kernel's lifetime — every reference scene fits (a380-scale 127k tris
-= 4.6 MB of 16 MB); cluster AABBs live in SMEM for scalar access.
+tile's slab test) costs nanoseconds.
+
+Memory layout (the part that makes this compile AND scale):
+  * cluster AABBs: (C, 8) f32 in SMEM — scalar reads at a dynamic
+    cluster index are an SMEM feature;
+  * triangle table: (C, W/8, 128) f32 in compiler-chosen memory
+    ("ANY" — VMEM when it fits, HBM at large scale). Each 128-lane
+    row packs EIGHT triangles of 16 columns
+    [v0(3) | e1(3) | e2(3) | gid-as-f32 | pad]: triangle w of cluster
+    c lives at [c, w//8, (w%8)*16 + j]. That exact-128 minor dim is
+    what makes this legal on the hardware: the per-cluster DMA slice
+    .at[c] is tile-aligned, and the triangle loop reads
+    scratch[w8, K*16+j] with a dynamic SUBLANE index and a STATIC
+    lane index (the 8 in-row triangles are a static unroll). Every
+    alternative fails: a (16, C*W) layout needs dynamic lane offsets
+    (Mosaic requires them provably 128-aligned), a (C*W, 16) VMEM
+    table pads 16 -> 128 lanes and OOMs at a380 scale, and a
+    (C, W, 16) DMA slice violates tiling alignment. Streaming reached
+    clusters from wherever the table lives removes the
+    mesh-must-fit-VMEM limit entirely; the slab cull means only
+    reached clusters pay the DMA.
+
+The global triangle id rides in the f32 table (exact for meshes up to
+2^24 triangles); -1 marks padding rows.
 
 This kernel only resolves the nearest hit (t, global tri id, u, v
 barycentrics) seeded with the sphere/free-tri best; shading (textures,
@@ -30,11 +51,13 @@ INF = 3.4e38
 
 LANES = 128
 SUBLANES = 8  # (8, 128) ray blocks
+TRI_COLS = 16  # v0 xyz | e1 xyz | e2 xyz | gid | 6 pad
 
 
 def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, seed_ref,
-            bounds_ref, tri_ref, idx_ref,
+            bounds_ref, tri_hbm,
             t_out, i_out, u_out, v_out,
+            tri_vmem, dma_sem,
             *, n_clusters: int, width: int):
     ox, oy, oz = ox_ref[...], oy_ref[...], oz_ref[...]
     dx, dy, dz = dx_ref[...], dy_ref[...], dz_ref[...]
@@ -72,37 +95,43 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, seed_ref,
 
         @pl.when(jnp.any(reach))
         def _():
-            def tri_body(w, _):
-                base = c * width + w
-                # tables are (9, C*W)/(1, C*W): big axis minor so VMEM
-                # tiling doesn't pad a 9-wide minor dim to 128 lanes
-                tr = lambda j: tri_ref[j, base]
-                e1x, e1y, e1z = tr(3), tr(4), tr(5)
-                e2x, e2y, e2z = tr(6), tr(7), tr(8)
-                pvx = dy * e2z - dz * e2y
-                pvy = dz * e2x - dx * e2z
-                pvz = dx * e2y - dy * e2x
-                det = e1x * pvx + e1y * pvy + e1z * pvz
-                ok = jnp.abs(det) >= EPS
-                inv_det = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
-                hx, hy, hz = ox - tr(0), oy - tr(1), oz - tr(2)
-                u = inv_det * (hx * pvx + hy * pvy + hz * pvz)
-                qx = hy * e1z - hz * e1y
-                qy = hz * e1x - hx * e1z
-                qz = hx * e1y - hy * e1x
-                w_ = inv_det * (dx * qx + dy * qy + dz * qz)
-                t_i = inv_det * (e2x * qx + e2y * qy + e2z * qz)
-                gid = idx_ref[0, base]
-                ok2 = ok & (u >= 0.0) & (u <= 1.0) & (w_ >= 0.0) & (u + w_ <= 1.0)
-                ok2 = ok2 & (t_i >= EPS) & (gid >= 0)
-                better = ok2 & (jnp.where(ok2, t_i, INF) < t_out[...])
-                t_out[...] = jnp.where(better, t_i, t_out[...])
-                i_out[...] = jnp.where(better, gid, i_out[...])
-                u_out[...] = jnp.where(better, u, u_out[...])
-                v_out[...] = jnp.where(better, w_, v_out[...])
+            cp = pltpu.make_async_copy(tri_hbm.at[c], tri_vmem, dma_sem)
+            cp.start()
+            cp.wait()
+
+            def row_body(w8, _):
+                for k in range(8):  # static unroll: lane index stays static
+                    tr = lambda j: tri_vmem[w8, k * TRI_COLS + j]
+                    e1x, e1y, e1z = tr(3), tr(4), tr(5)
+                    e2x, e2y, e2z = tr(6), tr(7), tr(8)
+                    pvx = dy * e2z - dz * e2y
+                    pvy = dz * e2x - dx * e2z
+                    pvz = dx * e2y - dy * e2x
+                    det = e1x * pvx + e1y * pvy + e1z * pvz
+                    ok = jnp.abs(det) >= EPS
+                    inv_det = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
+                    hx, hy, hz = ox - tr(0), oy - tr(1), oz - tr(2)
+                    u = inv_det * (hx * pvx + hy * pvy + hz * pvz)
+                    qx = hy * e1z - hz * e1y
+                    qy = hz * e1x - hx * e1z
+                    qz = hx * e1y - hy * e1x
+                    w_ = inv_det * (dx * qx + dy * qy + dz * qz)
+                    t_i = inv_det * (e2x * qx + e2y * qy + e2z * qz)
+                    gid_f = tr(9)
+                    ok2 = ok & (u >= 0.0) & (u <= 1.0) & (w_ >= 0.0) & (u + w_ <= 1.0)
+                    ok2 = ok2 & (t_i >= EPS) & (gid_f >= 0.0)
+                    better = ok2 & (jnp.where(ok2, t_i, INF) < t_out[...])
+                    t_out[...] = jnp.where(better, t_i, t_out[...])
+                    i_out[...] = jnp.where(
+                        better,
+                        jnp.full_like(i_out[...], gid_f.astype(jnp.int32)),
+                        i_out[...],
+                    )
+                    u_out[...] = jnp.where(better, u, u_out[...])
+                    v_out[...] = jnp.where(better, w_, v_out[...])
                 return 0
 
-            jax.lax.fori_loop(0, width, tri_body, 0)
+            jax.lax.fori_loop(0, width // 8, row_body, 0)
 
         return 0
 
@@ -110,41 +139,63 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, seed_ref,
 
 
 def pack_mesh_tables(scene):
-    """SceneArrays clusters -> (bounds (C, 8), tri (9, C*W), idx (1, C*W)).
-    Big axis MINOR: VMEM tiles the minor dim to 128 lanes, so a 9-wide
-    minor dim would pad 14x (OOM at a380 scale)."""
+    """SceneArrays clusters -> (bounds (C, 8) f32, tri (C, W/8, 128)
+    f32) numpy. Triangle w of cluster c at [c, w//8, (w%8)*16 + j];
+    gid packed as f32 in column 9; padding rows carry gid -1."""
     C = int(scene.n_clusters)
-    W = int(scene.cl_idx.shape[1])
+    W = int(scene.cl_idx.shape[1]) if C else 8
+    assert W % 8 == 0, W
     bounds = np.zeros((max(C, 1), 8), np.float32)
+    tri = np.zeros((max(C, 1), W, TRI_COLS), np.float32)
+    tri[:, :, 9] = -1.0
     if C:
         bounds[:, 0:3] = np.asarray(scene.cl_lo)
         bounds[:, 3:6] = np.asarray(scene.cl_hi)
-    tri = np.zeros((9, max(C * W, 1)), np.float32)
-    idx = np.full((1, max(C * W, 1)), -1, np.int32)
-    if C:
-        tri[0:3] = np.asarray(scene.cl_v0).reshape(C * W, 3).T
-        tri[3:6] = np.asarray(scene.cl_e1).reshape(C * W, 3).T
-        tri[6:9] = np.asarray(scene.cl_e2).reshape(C * W, 3).T
-        idx[0] = np.asarray(scene.cl_idx).reshape(C * W)
-    return bounds, tri, idx
+        tri[:, :, 0:3] = np.asarray(scene.cl_v0)
+        tri[:, :, 3:6] = np.asarray(scene.cl_e1)
+        tri[:, :, 6:9] = np.asarray(scene.cl_e2)
+        tri[:, :, 9] = np.asarray(scene.cl_idx).astype(np.float32)
+    return bounds, tri.reshape(max(C, 1), W // 8, 8 * TRI_COLS)
+
+
+def pack_mesh_tables_jnp(scene):
+    """Traced equivalent of pack_mesh_tables (for use inside jit)."""
+    C = scene.n_clusters
+    W = scene.cl_idx.shape[1]
+    assert W % 8 == 0, W
+    bounds = jnp.concatenate(
+        [scene.cl_lo, scene.cl_hi, jnp.zeros((C, 2), jnp.float32)], axis=1
+    )
+    tri = jnp.concatenate(
+        [
+            scene.cl_v0,
+            scene.cl_e1,
+            scene.cl_e2,
+            scene.cl_idx[:, :, None].astype(jnp.float32),
+            jnp.zeros((C, W, 6), jnp.float32),
+        ],
+        axis=2,
+    )
+    return bounds, tri.reshape(C, W // 8, 8 * TRI_COLS)
 
 
 @functools.partial(jax.jit, static_argnames=("n_clusters", "width", "interpret"))
-def mesh_hit_tiles(ox, oy, oz, dx, dy, dz, seed, bounds, tri, idx,
+def mesh_hit_tiles(ox, oy, oz, dx, dy, dz, seed, bounds, tri,
                    n_clusters: int, width: int, interpret: bool = False):
-    """All args (R, 128) lane grids except the tables. Returns
-    (t, gid, u, v) each (R, 128); gid == -1 where nothing beat seed."""
+    """All ray args (R, 128) lane grids; bounds (C, 8); tri
+    (C, W/8, 128). Returns (t, gid, u, v) each (R, 128); gid == -1
+    where nothing beat seed."""
     rows = ox.shape[0]
     assert rows % SUBLANES == 0
     grid = rows // SUBLANES
     lane = pl.BlockSpec((SUBLANES, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    full = lambda a: pl.BlockSpec(a.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
-    smem = lambda a: pl.BlockSpec(a.shape, lambda i: (0, 0), memory_space=pltpu.SMEM)
+    smem = lambda a: pl.BlockSpec(a.shape, lambda i: (0, 0, 0)[: a.ndim], memory_space=pltpu.SMEM)
     kernel = functools.partial(_kernel, n_clusters=n_clusters, width=width)
     return pl.pallas_call(
         kernel,
         grid=(grid,),
-        in_specs=[lane] * 7 + [smem(bounds), full(tri), full(idx)],
+        in_specs=[lane] * 7
+        + [smem(bounds), pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[lane, lane, lane, lane],
         out_shape=[
             jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
@@ -152,5 +203,9 @@ def mesh_hit_tiles(ox, oy, oz, dx, dy, dz, seed, bounds, tri, idx,
             jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
             jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
         ],
+        scratch_shapes=[
+            pltpu.VMEM((width // 8, 8 * TRI_COLS), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
         interpret=interpret,
-    )(ox, oy, oz, dx, dy, dz, seed, bounds, tri, idx)
+    )(ox, oy, oz, dx, dy, dz, seed, bounds, tri)

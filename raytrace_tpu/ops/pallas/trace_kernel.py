@@ -86,17 +86,13 @@ def _kernel(
     lx_ref, ly_ref, lz_ref, mdx_ref, mdy_ref, mdz_ref,
     mwr_ref, mwg_ref, mwb_ref,
     *, n_sph: int, n_ft: int, has_lens: bool, assured: int,
-    max_bounces: int,
+    max_bounces: int, samples_per_lane: int = 1,
 ):
     xs = xs_ref[...].astype(jnp.float32)
     ys = ys_ref[...].astype(jnp.float32)
+    spl = samples_per_lane
 
-    # --- rng init (ops/rng.py init_state) ---
-    pix = xs_ref[...].astype(_U32) ^ (ys_ref[...].astype(_U32) << _U32(16))
-    seed = _jenkins(pix) ^ _jenkins(samp_ref[...].astype(_U32) ^ _U32(0x9E3779B9))
-    state = _jenkins(seed)
-
-    # --- camera raygen (ray/generate.rs:13-66) ---
+    # camera scalars (SMEM)
     c = lambda i: cam_ref[0, i]
     ox_c, oy_c, oz_c = c(0), c(1), c(2)
     dx_c, dy_c, dz_c = c(3), c(4), c(5)
@@ -104,40 +100,50 @@ def _kernel(
     rx, ry, rz = c(9), c(10), c(11)
     x_cf, y_cf, x_off, y_off, lens_r = c(12), c(13), c(14), c(15), c(16)
     max_thres = c(17)
+    pix = xs_ref[...].astype(_U32) ^ (ys_ref[...].astype(_U32) << _U32(16))
 
-    s_x = x_cf * (xs - x_off)
-    s_y = y_cf * (ys - y_off)
-    dx = dx_c + s_x * rx + s_y * ux
-    dy = dy_c + s_x * ry + s_y * uy
-    dz = dz_c + s_x * rz + s_y * uz
-    if has_lens:
-        state, u = _next_f32(state)
-        state, v = _next_f32(state)
-        r_ = jnp.sqrt(u)
-        th = (2.0 * np.pi) * v
-        lx = (r_ - 0.5) * 2.0 * lens_r * jnp.cos(th)
-        ly_ = (r_ - 0.5) * 2.0 * lens_r * jnp.sin(th)
-        offx = rx * lx + ux * ly_
-        offy = ry * lx + uy * ly_
-        offz = rz * lx + uz * ly_
-        ox, oy, oz = offx + ox_c, offy + oy_c, offz + oz_c
-        dx, dy, dz = dx - offx, dy - offy, dz - offz
-    else:
-        one = jnp.ones_like(xs)
-        ox, oy, oz = one * ox_c, one * oy_c, one * oz_c
-    state, ju = _next_f32(state)
-    state, jv = _next_f32(state)
-    dx = dx + rx * ((ju - 0.5) * x_cf) + ux * ((jv - 0.5) * y_cf)
-    dy = dy + ry * ((ju - 0.5) * x_cf) + uy * ((jv - 0.5) * y_cf)
-    dz = dz + rz * ((ju - 0.5) * x_cf) + uz * ((jv - 0.5) * y_cf)
-    dx, dy, dz = _norm3(dx, dy, dz)
+    def start_sample(samp_u32):
+        """rng init (ops/rng.py init_state) + camera raygen
+        (ray/generate.rs:13-66) for this lane's sample id."""
+        seed = _jenkins(pix) ^ _jenkins(samp_u32 ^ _U32(0x9E3779B9))
+        state = _jenkins(seed)
+        s_x = x_cf * (xs - x_off)
+        s_y = y_cf * (ys - y_off)
+        dx = dx_c + s_x * rx + s_y * ux
+        dy = dy_c + s_x * ry + s_y * uy
+        dz = dz_c + s_x * rz + s_y * uz
+        if has_lens:
+            state, u = _next_f32(state)
+            state, v = _next_f32(state)
+            r_ = jnp.sqrt(u)
+            th = (2.0 * np.pi) * v
+            lx = (r_ - 0.5) * 2.0 * lens_r * jnp.cos(th)
+            ly_ = (r_ - 0.5) * 2.0 * lens_r * jnp.sin(th)
+            offx = rx * lx + ux * ly_
+            offy = ry * lx + uy * ly_
+            offz = rz * lx + uz * ly_
+            ox, oy, oz = offx + ox_c, offy + oy_c, offz + oz_c
+            dx, dy, dz = dx - offx, dy - offy, dz - offz
+        else:
+            one_ = jnp.ones_like(xs)
+            ox, oy, oz = one_ * ox_c, one_ * oy_c, one_ * oz_c
+        state, ju = _next_f32(state)
+        state, jv = _next_f32(state)
+        dx = dx + rx * ((ju - 0.5) * x_cf) + ux * ((jv - 0.5) * y_cf)
+        dy = dy + ry * ((ju - 0.5) * x_cf) + uy * ((jv - 0.5) * y_cf)
+        dz = dz + rz * ((ju - 0.5) * x_cf) + uz * ((jv - 0.5) * y_cf)
+        dx, dy, dz = _norm3(dx, dy, dz)
+        return state, ox, oy, oz, dx, dy, dz
+
+    samp0 = samp_ref[...].astype(_U32)
+    state, ox, oy, oz, dx, dy, dz = start_sample(samp0)
 
     zero = jnp.zeros_like(dx)
     one = jnp.ones_like(dx)
 
     def bounce(carry):
         (i, state, ox, oy, oz, dx, dy, dz, cir, cig, cib, inten,
-         lr, lg, lb, mdx, mdy, mdz, mwr, mwg, mwb, active_f, depth) = carry
+         lr, lg, lb, mdx, mdy, mdz, mwr, mwg, mwb, active_f, depth, sk) = carry
         active = active_f > 0.5
 
         # ---- closest hit: spheres (unrolled over SMEM scalars) ----
@@ -342,21 +348,49 @@ def _kernel(
         dz = jnp.where(survive, ndz, dz)
         depth = depth + jnp.where(survive, 1.0, 0.0)
 
+        if spl > 1:
+            # in-kernel sample regeneration: a dead lane with samples
+            # left starts its NEXT (pixel, sample) path immediately, so
+            # the block's while_loop pays the max-path-length tail once
+            # per launch instead of once per sample round. (Launches
+            # with spl > 1 must not need the miss outputs — the driver
+            # gates this on scenes without a cubemap.)
+            alive = survive & (depth < float(max_bounces))  # per-lane cap
+            regen = (~alive) & (sk + 1.0 < float(spl))
+            sk = sk + jnp.where(regen, 1.0, 0.0)
+            samp_u = samp0 + sk.astype(jnp.int32).astype(_U32)
+            st2, ox2, oy2, oz2, dx2, dy2, dz2 = start_sample(samp_u)
+            state = jnp.where(regen, st2, state)
+            ox = jnp.where(regen, ox2, ox)
+            oy = jnp.where(regen, oy2, oy)
+            oz = jnp.where(regen, oz2, oz)
+            dx = jnp.where(regen, dx2, dx)
+            dy = jnp.where(regen, dy2, dy)
+            dz = jnp.where(regen, dz2, dz)
+            cir = jnp.where(regen, 1.0, cir)
+            cig = jnp.where(regen, 1.0, cig)
+            cib = jnp.where(regen, 1.0, cib)
+            inten = jnp.where(regen, 1.0, inten)
+            depth = jnp.where(regen, 0.0, depth)
+            active_new = jnp.where(alive | regen, 1.0, 0.0)
+        else:
+            active_new = jnp.where(survive, 1.0, 0.0)
+
         return (i + 1, state, ox, oy, oz, dx, dy, dz, cir, cig, cib, inten,
                 lr, lg, lb, mdx, mdy, mdz, mwr, mwg, mwb,
-                jnp.where(survive, 1.0, 0.0), depth)
+                active_new, depth, sk)
 
     def cond(carry):
         i = carry[0]
-        active_f = carry[-2]
-        return (i < max_bounces) & (jnp.max(active_f) > 0.5)
+        active_f = carry[-3]
+        return (i < max_bounces * spl) & (jnp.max(active_f) > 0.5)
 
     init = (0, state, ox, oy, oz, dx, dy, dz, one, one, one, one,
             zero, zero, zero, zero, zero, zero, zero, zero, zero,
-            one, zero)
+            one, zero, zero)
     out = jax.lax.while_loop(cond, bounce, init)
     (_, _, _, _, _, _, _, _, _, _, _, _, lr, lg, lb,
-     mdx, mdy, mdz, mwr, mwg, mwb, _, _) = out
+     mdx, mdy, mdz, mwr, mwg, mwb, _, _, _) = out
 
     lx_ref[...] = lr
     ly_ref[...] = lg
@@ -413,15 +447,21 @@ def supports(scene, params) -> bool:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_sph", "n_ft", "has_lens", "assured", "max_bounces", "interpret"),
+    static_argnames=(
+        "n_sph", "n_ft", "has_lens", "assured", "max_bounces",
+        "samples_per_lane", "interpret",
+    ),
 )
 def trace_tiles(
     xs, ys, samp, sph_table, ft_table, cam_vec,
     n_sph: int, n_ft: int, has_lens: bool, assured: int,
-    max_bounces: int, interpret: bool = False,
+    max_bounces: int, samples_per_lane: int = 1, interpret: bool = False,
 ):
     """xs/ys/samp: (R, 128) i32 lane grids (R multiple of SUBLANES).
-    Returns (L (R,128,3 packed as 3 arrays), miss_dir 3x, miss_w)."""
+    Returns (L (R,128,3 packed as 3 arrays), miss_dir 3x, miss_w).
+    samples_per_lane > 1 accumulates that many consecutive sample ids
+    (samp..samp+spl-1) per lane via in-kernel regeneration — only
+    valid for scenes without a cubemap (miss outputs are per-lane)."""
     rows = xs.shape[0]
     assert rows % SUBLANES == 0, rows
     grid = rows // SUBLANES
@@ -431,7 +471,7 @@ def trace_tiles(
     kernel = functools.partial(
         _kernel,
         n_sph=n_sph, n_ft=n_ft, has_lens=has_lens, assured=assured,
-        max_bounces=max_bounces,
+        max_bounces=max_bounces, samples_per_lane=samples_per_lane,
     )
     return pl.pallas_call(
         kernel,

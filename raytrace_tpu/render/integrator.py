@@ -277,32 +277,21 @@ def closest_hit(scene, params, ro: Vec3, rd: Vec3, active=None):
         and not params.differentiable
         and n % 1024 == 0
     ):
-        from ..ops.pallas.mesh_hit_kernel import mesh_hit_tiles
+        from ..ops.pallas.mesh_hit_kernel import mesh_hit_tiles, pack_mesh_tables_jnp
 
         t_seed = t_best if active is None else jnp.where(active, t_best, -INF)
 
         C = scene.n_clusters
         Wd = scene.cl_idx.shape[1]
-        bounds = jnp.concatenate(
-            [scene.cl_lo, scene.cl_hi, jnp.zeros((C, 2), jnp.float32)], axis=1
-        )
-        # tables transposed: big axis minor (VMEM tiling pads the minor
-        # dim to 128 lanes — a 9-wide minor dim OOMs at a380 scale)
-        tri = jnp.concatenate(
-            [
-                scene.cl_v0.reshape(C * Wd, 3).T,
-                scene.cl_e1.reshape(C * Wd, 3).T,
-                scene.cl_e2.reshape(C * Wd, 3).T,
-            ],
-            axis=0,
-        )
-        idxt = scene.cl_idx.reshape(1, C * Wd)
+        # bounds live in SMEM; the (C, W, 16) triangle table stays in
+        # HBM and the kernel streams reached clusters into VMEM scratch
+        bounds, tri = pack_mesh_tables_jnp(scene)
         rows = n // 128
         resh = lambda a: a.reshape(rows, 128)
         tt, ti, tu, tv = mesh_hit_tiles(
             resh(ro.x), resh(ro.y), resh(ro.z),
             resh(rd.x), resh(rd.y), resh(rd.z),
-            resh(t_seed), bounds, tri, idxt,
+            resh(t_seed), bounds, tri,
             n_clusters=C, width=Wd,
         )
         tt, ti, tu, tv = tt.reshape(n), ti.reshape(n), tu.reshape(n), tv.reshape(n)

@@ -122,31 +122,38 @@ def sample_batch(
 def sample_batch_fused(
     tables, cam_vec, scene, params, width, height, xs2d, ys2d, rep2d,
     sample_base, n_samples, samples_per_dispatch: int = 1,
-    has_lens: bool = False,
+    samples_per_lane: int = 1, has_lens: bool = False,
 ):
     """Fused-kernel equivalent of sample_batch for supported scenes
     (ops/pallas/trace_kernel.py): per sample round, one pallas_call
     runs the whole bounce loop; cubemap misses are resolved with an
     XLA gather afterwards. xs2d/ys2d/rep2d are (R, 128) lane grids
-    (pixels already replicated samples_per_dispatch times). Returns
-    (n_pix, 3) radiance sums."""
+    holding samples_per_dispatch // samples_per_lane pixel replicas;
+    the kernel covers samples_per_lane consecutive sample ids per lane
+    by in-kernel regeneration (cubemap-free scenes only — their lanes
+    would need one miss record per sample). Returns (n_pix, 3)
+    radiance sums."""
     from ..ops.pallas import trace_kernel as tk
     from ..ops.vec import Vec3
 
     del width, height  # pixel coords come in via the lane grids
     sph_table, ft_table = tables
     spd = samples_per_dispatch
+    spl = samples_per_lane
+    assert spd % spl == 0
+    reps = spd // spl
     n_lanes = xs2d.size
-    n_pix = n_lanes // spd  # padded pixel count (caller slices)
+    n_pix = n_lanes // reps  # padded pixel count (caller slices)
 
     def body(s, acc):
-        samp = sample_base + s * spd + rep2d
+        samp = sample_base + s * spd + rep2d * spl
         lr, lg, lb, mdx, mdy, mdz, mwr, mwg, mwb = tk.trace_tiles(
             xs2d, ys2d, samp, sph_table, ft_table, cam_vec,
             n_sph=scene.n_spheres, n_ft=scene.n_free_tris,
             has_lens=has_lens,
             assured=params.assured_depth,
             max_bounces=params.max_bounces,
+            samples_per_lane=spl,
         )
         if scene.has_cubemap:
             from .integrator import sample_cubemap
@@ -160,11 +167,14 @@ def sample_batch_fused(
             lb = lb.reshape(-1) + jnp.where(missed, mwb.reshape(-1) * sky.z, 0.0)
         else:
             lr, lg, lb = lr.reshape(-1), lg.reshape(-1), lb.reshape(-1)
-        rad = Vec3(
-            lr.reshape(spd, n_pix).sum(0),
-            lg.reshape(spd, n_pix).sum(0),
-            lb.reshape(spd, n_pix).sum(0),
-        )
+        if reps > 1:
+            rad = Vec3(
+                lr.reshape(reps, n_pix).sum(0),
+                lg.reshape(reps, n_pix).sum(0),
+                lb.reshape(reps, n_pix).sum(0),
+            )
+        else:
+            rad = Vec3(lr, lg, lb)
         return acc + rad
 
     z = jnp.zeros((n_pix,), jnp.float32)
@@ -198,6 +208,7 @@ class Renderer:
         scene: Optional[SceneArrays] = None,
         samples_per_dispatch: Optional[int] = None,
         use_fused: Optional[bool] = None,
+        use_wavefront: Optional[bool] = None,
     ):
         self.scheme = scheme
         info = scheme.render_info
@@ -248,14 +259,19 @@ class Renderer:
         self.n_tiles = n_tiles
 
         if self.use_fused:
-            # fused path: one lane grid covering ALL pixels x spd reps,
-            # rep-major so the (spd, padded_npix) reshape sums replicas;
-            # pixel count padded so lanes fill (SUBLANES x 128) tiles
+            # fused path: one lane grid covering ALL pixels x `reps`
+            # replicas, rep-major so the (reps, padded_npix) reshape
+            # sums replicas; pixel count padded so lanes fill
+            # (SUBLANES x 128) tiles. Cubemap-free scenes run ONE
+            # replica and instead let the kernel regenerate spd
+            # samples per lane in place (no idle-lane tail per round).
+            reps = self.spd if self.scene.has_cubemap else 1
+            self._fspl = self.spd // reps
             lane_unit = tk.SUBLANES * tk.LANES
-            assert lane_unit % self.spd == 0
-            unit = lane_unit // self.spd
+            assert lane_unit % reps == 0
+            unit = lane_unit // reps
             padded_npix = -(-n_pix // unit) * unit
-            lane = np.arange(padded_npix * self.spd)
+            lane = np.arange(padded_npix * reps)
             pix_order = np.concatenate(
                 [self._perm, np.full(padded_npix - n_pix, self._perm[-1], np.int64)]
             )
@@ -276,6 +292,7 @@ class Renderer:
                     sample_batch_fused,
                     width=self.width, height=self.height,
                     samples_per_dispatch=self.spd,
+                    samples_per_lane=self._fspl,
                     has_lens=self.camera.lens_r is not None,
                 ),
                 static_argnames=(),
@@ -286,6 +303,27 @@ class Renderer:
                     samples_per_dispatch=1),
             static_argnames=(),
         )
+
+        # wavefront lane-regeneration driver (render/wavefront.py):
+        # default for every non-fused forward render it supports — the
+        # masked bounce loop wastes most of its width on dead lanes
+        from . import wavefront as wf
+
+        if use_wavefront is None:
+            use_wavefront = not self.use_fused and wf.supports(self.scene, self.params)
+        self.use_wavefront = (
+            use_wavefront and not self.use_fused and wf.supports(self.scene, self.params)
+        )
+        if self.use_wavefront:
+            self.wf_pool = min(1 << 17, -(-n_pix // 1024) * 1024)
+            self._wxs = jnp.asarray((self._perm % self.width).astype(np.int32))
+            self._wys = jnp.asarray((self._perm // self.width).astype(np.int32))
+            self._wstep = jax.jit(
+                partial(
+                    wf.wavefront_batch,
+                    width=self.width, height=self.height, pool=self.wf_pool,
+                )
+            )
 
     def render(
         self,
@@ -342,6 +380,18 @@ class Renderer:
                 res[self._perm] = np.asarray(out)[:n_pix]
                 self.target.add(res, n_f)
                 n = n_f
+            elif self.use_wavefront:
+                out = self._wstep(
+                    scene_dev,
+                    self.cam_arrays,
+                    self.params,
+                    self._wxs,
+                    self._wys,
+                    sample_base=jnp.int32(base),
+                    n_samples=jnp.int32(n),
+                )
+                # wavefront accumulates by natural flat pixel id
+                self.target.add(np.asarray(out), n)
             else:
                 tile_sums = []
                 for ti in range(self.n_tiles):

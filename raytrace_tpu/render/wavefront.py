@@ -1,0 +1,179 @@
+"""Wavefront path tracing with lane regeneration.
+
+The plain bounce loop (render/integrator.trace_paths) iterates all
+lanes until every path dies: by bounce ~7 of 24 only ~10-15% of lanes
+are alive, yet every iteration still pays full-width mesh-attribute /
+texture gathers and BSDF math for the dead majority — the measured
+bottleneck on mesh scenes (BENCH_NOTES.md). GPU path tracers solve
+this with wavefront scheduling / path regeneration (persistent
+threads); the TPU-native formulation here keeps a fixed pool of lanes
+(a static shape XLA can compile) at ~full occupancy:
+
+  every iteration
+    1. one bounce for the whole pool (reuses integrator._bounce_step —
+       same formulas, same per-(pixel,sample) RNG streams);
+    2. lanes whose path terminated (miss -> sky, russian roulette,
+       bounce cap) resolve their deferred cubemap term and scatter-add
+       their radiance into the (n_pix+1,) accumulator rows;
+    3. dead lanes immediately pull the next (pixel, sample) work unit
+       off a queue counter (rank = prefix sum over the pool), seed the
+       stream from (x, y, sample) exactly like renderer.sample_batch,
+       and raygen in place.
+
+The loop ends when the queue is drained and the last paths die — total
+iterations ~ sum of path lengths / pool, instead of
+n_dispatches * max_bounces. Radiance per work unit is IDENTICAL to
+trace_paths (same draws in the same order); only the accumulation
+order differs, so images agree to f32 reassociation tolerance
+(tests/test_wavefront.py).
+
+Work units are handed out sample-major over the tile-ordered pixel
+permutation (renderer lane order), so lanes regenerated together are
+spatially coherent — which is what lets the cluster-culled mesh
+kernels skip whole blocks.
+
+Reference behavior covered: the gpu-semantics radiance loop
+(trace.wgsl:282-315) and the cpu-semantics one (radiance.rs:20-86)
+minus direct-light sampling (its one-bounce-lookahead state is tied to
+the fixed-loop shape; the classic driver handles dls).
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import raygen, rng
+from ..ops import vec as v3
+from ..ops.vec import Vec3
+from .integrator import IntegratorParams, _bounce_step, sample_cubemap
+
+
+def supports(scene, params: IntegratorParams) -> bool:
+    return not params.differentiable and not (
+        params.dir_light_samp and params.mode == "cpu" and scene.n_spheres
+    )
+
+
+def wavefront_batch(
+    scene,
+    cam,
+    params: IntegratorParams,
+    xs_tab,
+    ys_tab,
+    sample_base,
+    n_samples,
+    width: int,
+    height: int,
+    pool: int,
+    return_stats: bool = False,
+):
+    """Radiance SUM over n_samples for every pixel.
+
+    xs_tab/ys_tab: (n_pix,) i32 pixel coords in dispatch (tile) order.
+    Returns (n_pix, 3) f32 sums indexed by flat y*width+x (natural
+    image order — no unscramble needed). sample_base/n_samples may be
+    traced; pool is the static lane-pool size.
+    """
+    n_pix = xs_tab.shape[0]
+    n_work = n_pix * n_samples
+    track_miss = scene.has_cubemap and not params.debug_single_ray
+    max_b = 1 if params.debug_single_ray else params.max_bounces
+
+    zeros = jnp.zeros((pool,), jnp.float32)
+    ones = jnp.ones((pool,), jnp.float32)
+
+    def assign(st, q):
+        """Hand the next work units to every dead lane; advance q."""
+        need = ~st["active"]
+        ranks = jnp.cumsum(need.astype(jnp.int32))
+        ids = q + ranks - 1
+        valid = need & (ids < n_work)
+        new_q = jnp.minimum(q + ranks[-1], n_work)
+        ids_c = jnp.clip(ids, 0, jnp.maximum(n_work - 1, 0))
+        pix_pos = ids_c % n_pix
+        samp = sample_base + ids_c // n_pix
+        x = jnp.take(xs_tab, pix_pos)
+        y = jnp.take(ys_tab, pix_pos)
+        state0 = rng.init_state(x, y, width, height, samp)
+        state0, ro0, rd0 = raygen.generate(state0, x, y, cam)
+        out = dict(
+            ro=v3.where(valid, ro0, st["ro"]),
+            rd=v3.where(valid, rd0, st["rd"]),
+            L=v3.where(valid, Vec3(zeros, zeros, zeros), st["L"]),
+            ci=v3.where(valid, Vec3(ones, ones, ones), st["ci"]),
+            inten=jnp.where(valid, 1.0, st["inten"]),
+            rng=jnp.where(valid, state0, st["rng"]),
+            active=st["active"] | valid,
+            bounce=jnp.where(valid, 0, st["bounce"]),
+            pix=jnp.where(valid, y * width + x, st["pix"]),
+        )
+        if track_miss:
+            out["miss_d"] = v3.where(valid, Vec3(zeros, zeros, zeros), st["miss_d"])
+            out["miss_w"] = v3.where(valid, Vec3(zeros, zeros, zeros), st["miss_w"])
+        return out, new_q
+
+    st0 = dict(
+        ro=Vec3(zeros, zeros, zeros),
+        rd=Vec3(zeros, zeros, ones),
+        L=Vec3(zeros, zeros, zeros),
+        ci=Vec3(ones, ones, ones),
+        inten=ones,
+        rng=jnp.zeros((pool,), jnp.uint32),
+        active=jnp.zeros((pool,), bool),
+        bounce=jnp.zeros((pool,), jnp.int32),
+        pix=jnp.zeros((pool,), jnp.int32),
+    )
+    if track_miss:
+        st0["miss_d"] = Vec3(zeros, zeros, zeros)
+        st0["miss_w"] = Vec3(zeros, zeros, zeros)
+    st0, q0 = assign(st0, jnp.int32(0))
+
+    acc0 = tuple(jnp.zeros((n_pix + 1,), jnp.float32) for _ in range(3))
+
+    def cond(carry):
+        _, _, _, st = carry
+        return jnp.any(st["active"])
+
+    def body(carry):
+        q, stats, acc, st = carry
+        stats = (stats[0] + 1, stats[1] + jnp.sum(st["active"].astype(jnp.int32)))
+        was_active = st["active"]
+        # _bounce_step pops the wavefront-only 'pix' key from its input
+        # view; carry it around explicitly
+        pix = st.pop("pix")
+        st = _bounce_step(scene, params, st)
+        # per-lane bounce cap (trace_paths caps via the loop bound)
+        st["active"] = st["active"] & (st["bounce"] < max_b)
+        term = was_active & ~st["active"]
+
+        # resolve the deferred cubemap term at retirement (a path
+        # misses at most once; see trace_paths' post-loop resolve)
+        Lf = st["L"]
+        if track_miss:
+            mw = st["miss_w"]
+            missed = (mw.x > 0.0) | (mw.y > 0.0) | (mw.z > 0.0)
+            md = st["miss_d"]
+            sky = sample_cubemap(
+                scene, v3.where(missed, md, Vec3.full_like(md.x, 1.0, 0.0, 0.0))
+            )
+            Lf = Lf + v3.where(missed, mw * sky, Vec3.zeros_like(mw.x))
+
+        idx = jnp.where(term, pix, n_pix)  # row n_pix = discard
+        acc = (
+            acc[0].at[idx].add(jnp.where(term, Lf.x, 0.0)),
+            acc[1].at[idx].add(jnp.where(term, Lf.y, 0.0)),
+            acc[2].at[idx].add(jnp.where(term, Lf.z, 0.0)),
+        )
+
+        st["pix"] = pix
+        st, q = assign(st, q)
+        return q, stats, acc, st
+
+    stats0 = (jnp.int32(0), jnp.int32(0))
+    _, stats, acc, _ = jax.lax.while_loop(cond, body, (q0, stats0, acc0, st0))
+    img = jnp.stack([acc[0][:n_pix], acc[1][:n_pix], acc[2][:n_pix]], axis=-1)
+    if return_stats:
+        return img, {"iterations": stats[0], "lane_bounces": stats[1]}
+    return img

@@ -106,3 +106,41 @@ def test_fused_spd_replicas(setup):
     out = np.asarray(out)
     mismatch = np.abs(out - ref) / (np.abs(ref) + 1e-3)
     assert (mismatch > 1e-3).mean() < 0.01
+
+
+def test_fused_samples_per_lane(setup):
+    """In-kernel sample regeneration (samples_per_lane > 1) must equal
+    the sum of the individual single-sample launches."""
+    _, scene, cam, cam_arrays, params = setup
+    n_pix = W * H
+    flat = np.arange(n_pix, dtype=np.int32)
+    x_idx = jnp.asarray(flat % W)
+    y_idx = jnp.asarray(flat // W)
+    rows = n_pix // tk.LANES
+    xs2d = x_idx.reshape(rows, tk.LANES)
+    ys2d = y_idx.reshape(rows, tk.LANES)
+    rep2d = jnp.zeros((rows, tk.LANES), jnp.int32)
+
+    sph_t, ft_t = tk.pack_scene_tables(scene)
+    tables = (jnp.asarray(sph_t), jnp.asarray(ft_t))
+    cam_vec = jnp.asarray(tk.make_cam_vec(cam))
+
+    with pltpu.force_tpu_interpret_mode():
+        ref = sum(
+            np.asarray(
+                sample_batch_fused(
+                    tables, cam_vec, scene, params, W, H,
+                    xs2d, ys2d, rep2d, jnp.int32(k), jnp.int32(1),
+                    samples_per_dispatch=1,
+                )
+            )
+            for k in range(4)
+        )
+        out = np.asarray(
+            sample_batch_fused(
+                tables, cam_vec, scene, params, W, H,
+                xs2d, ys2d, rep2d, jnp.int32(0), jnp.int32(4),
+                samples_per_dispatch=4, samples_per_lane=4,
+            )
+        )
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
