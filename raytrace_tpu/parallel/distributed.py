@@ -15,7 +15,7 @@ from typing import Any, Optional
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..render.integrator import IntegratorParams, trace_paths
 from ..render.renderer import sample_batch
@@ -40,9 +40,50 @@ def make_render_step(mesh: Mesh, width: int, height: int):
         mesh=mesh,
         in_specs=(P(), P(), P(), P("tile"), P("tile"), P(), P()),
         out_specs=P("tile"),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(sharded), spp_size
+
+
+def make_wavefront_render_step(mesh: Mesh, width: int, height: int, pool: int):
+    """Distributed wavefront rendering: every device runs the
+    lane-regeneration driver (render/wavefront.py) over the full pixel
+    set with a disjoint contiguous slice of the sample range, and the
+    per-device images are psum'd over ALL mesh axes (one image-sized
+    all-reduce per dispatch, riding ICI). Sample-axis sharding keeps
+    each device's lane pool full — pixel sharding would shrink the
+    per-device work list and lengthen the drain tail.
+
+    Returns step(scene, cam, params, xs, ys, sample_base,
+    n_samples_per_device) -> (n_pix, 3) radiance sums over
+    n_devices * n_samples_per_device samples."""
+    from ..render.wavefront import wavefront_batch
+
+    axes = tuple(mesh.axis_names)
+    sizes = [mesh.shape[a] for a in axes]
+
+    def step(scene, cam, params, xs, ys, sample_base, n_samples):
+        idx = jnp.int32(0)
+        for a, s in zip(axes, sizes):
+            idx = idx * s + jax.lax.axis_index(a)
+        base = sample_base + idx * n_samples
+        img = wavefront_batch(
+            scene, cam, params, xs, ys, base, n_samples,
+            width=width, height=height, pool=pool,
+        )
+        return jax.lax.psum(img, axes)
+
+    sharded = shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(), P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    n_devices = 1
+    for s in sizes:
+        n_devices *= s
+    return jax.jit(sharded), n_devices
 
 
 # scene leaves that carry geometry/appearance gradients; int/bool
@@ -76,7 +117,7 @@ def make_train_step(
 
         # differentiate ONLY the local sample batch (no collectives
         # inside the vjp — shard_map's conservative psum transpose with
-        # check_rep=False would inflate replicated cotangents by the
+        # check_vma=False would inflate replicated cotangents by the
         # axis size); the MSE loss pieces around it are linear/explicit.
         def local_render(diff, cam):
             sc = scene.replace(**diff)
@@ -107,6 +148,6 @@ def make_train_step(
         mesh=mesh,
         in_specs=(P(), P(), P(), P("tile"), P("tile"), P(), P("tile")),
         out_specs=(P(), (P(), P())),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(sharded)

@@ -343,8 +343,12 @@ class Renderer:
         if self.scene.n_mesh_tris:
             # long single dispatches on mesh scenes can trip the TPU
             # runtime's watchdog (the reference had the same constraint
-            # on consumer GPUs, README.md:280-285) — keep them short
-            b = min(b, 2)
+            # on consumer GPUs, README.md:280-285) — keep them short.
+            # The wavefront driver gets a bigger budget: its drain tail
+            # (max-path-length iterations at collapsing occupancy) is
+            # paid once per dispatch, so more spp per dispatch is the
+            # occupancy lever.
+            b = min(b, 16 if self.use_wavefront else 2)
 
         it = range(0, total, b)
         bar = None

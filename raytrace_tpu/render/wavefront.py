@@ -149,16 +149,45 @@ def wavefront_batch(
         term = was_active & ~st["active"]
 
         # resolve the deferred cubemap term at retirement (a path
-        # misses at most once; see trace_paths' post-loop resolve)
+        # misses at most once; see trace_paths' post-loop resolve).
+        # Only tiles containing a retiring missed lane pay the gather.
         Lf = st["L"]
         if track_miss:
             mw = st["miss_w"]
-            missed = (mw.x > 0.0) | (mw.y > 0.0) | (mw.z > 0.0)
             md = st["miss_d"]
-            sky = sample_cubemap(
-                scene, v3.where(missed, md, Vec3.full_like(md.x, 1.0, 0.0, 0.0))
-            )
-            Lf = Lf + v3.where(missed, mw * sky, Vec3.zeros_like(mw.x))
+            missed = term & ((mw.x > 0.0) | (mw.y > 0.0) | (mw.z > 0.0))
+
+            def resolve(m_t, md_t, mw_t):
+                sky = sample_cubemap(
+                    scene, v3.where(m_t, md_t, Vec3.full_like(md_t.x, 1.0, 0.0, 0.0))
+                )
+                add = v3.where(m_t, mw_t * sky, Vec3.zeros_like(mw_t.x))
+                return add.x, add.y, add.z
+
+            TS = 8192
+            if pool > TS and pool % TS == 0:
+                n_t = pool // TS
+                resh = lambda x: x.reshape(n_t, TS)
+
+                def tile_body(_, args):
+                    m_t, mdx, mdy, mdz, mwx, mwy, mwz, any_t = args
+                    out = jax.lax.cond(
+                        any_t,
+                        lambda: resolve(m_t, Vec3(mdx, mdy, mdz), Vec3(mwx, mwy, mwz)),
+                        lambda: tuple(jnp.zeros((TS,), jnp.float32) for _ in range(3)),
+                    )
+                    return None, out
+
+                _, (ax, ay, az) = jax.lax.scan(
+                    tile_body, None,
+                    (resh(missed), resh(md.x), resh(md.y), resh(md.z),
+                     resh(mw.x), resh(mw.y), resh(mw.z),
+                     jnp.any(resh(missed), axis=1)),
+                )
+                Lf = Lf + Vec3(ax.reshape(pool), ay.reshape(pool), az.reshape(pool))
+            else:
+                ax, ay, az = resolve(missed, md, mw)
+                Lf = Lf + Vec3(ax, ay, az)
 
         idx = jnp.where(term, pix, n_pix)  # row n_pix = discard
         acc = (

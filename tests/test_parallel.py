@@ -126,3 +126,20 @@ def test_train_step_grads(setup):
     np.testing.assert_allclose(
         np.asarray(gscene["sph_rgb"]), np.asarray(ref_g[1]), rtol=1e-3, atol=1e-6
     )
+
+
+def test_wavefront_render_step_matches_single(setup):
+    """8-device spp-sharded wavefront == one wavefront over the full
+    sample range (disjoint contiguous sample slices, same streams)."""
+    from raytrace_tpu.parallel.distributed import make_wavefront_render_step
+    from raytrace_tpu.render.wavefront import wavefront_batch
+
+    scene, cam, params, x_idx, y_idx = setup
+    mesh = make_mesh()
+    step, n_dev = make_wavefront_render_step(mesh, W, H, pool=1024)
+    out = np.asarray(step(scene, cam, params, x_idx, y_idx, jnp.int32(0), jnp.int32(2)))
+    ref = np.asarray(
+        wavefront_batch(scene, cam, params, x_idx, y_idx, jnp.int32(0),
+                        jnp.int32(2 * n_dev), width=W, height=H, pool=1024)
+    )
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)

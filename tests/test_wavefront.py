@@ -113,3 +113,37 @@ def test_wavefront_debug_single_ray():
                               debug_single_ray=True)
     ref, out = _compare(_sphere_scheme(), params)
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_wavefront_large_pool_tiled_paths():
+    """pool > 8192 exercises the tile-cond mesh-attr and cubemap-resolve
+    branches; results must still match the classic loop."""
+    path = os.path.join(SCHEMES, "spaceship_r1.yml")
+    if not os.path.exists(path):
+        pytest.skip("reference schemes unavailable")
+    w, h = 64, 32
+    scheme = load_scheme(path)
+    scheme.render_info.width, scheme.render_info.height = w, h
+    params = IntegratorParams(assured_depth=3, max_bounces=6, mode="gpu")
+    ref, out = _compare(scheme, params, n_samples=2, pool=16384, wh=(w, h))
+    # different fusion shapes perturb interpolated uvs by ~1 ulp, which
+    # flips a handful of nearest-neighbor texel picks — allow a few
+    # discrete per-pixel jumps but require distribution-level agreement
+    bad = ~np.isclose(out, ref, rtol=1e-3, atol=1e-3)
+    assert bad.mean() < 0.01, f"mismatch frac {bad.mean()}, max {np.abs(out - ref).max()}"
+    np.testing.assert_allclose(out.mean(0), ref.mean(0), rtol=1e-3)
+
+
+def test_wavefront_compaction_path():
+    """pool >= 32768 exercises the mesh-shading compaction branch."""
+    path = os.path.join(SCHEMES, "spaceship_r1.yml")
+    if not os.path.exists(path):
+        pytest.skip("reference schemes unavailable")
+    w, h = 64, 32
+    scheme = load_scheme(path)
+    scheme.render_info.width, scheme.render_info.height = w, h
+    params = IntegratorParams(assured_depth=3, max_bounces=6, mode="gpu")
+    ref, out = _compare(scheme, params, n_samples=2, pool=32768, wh=(w, h))
+    bad = ~np.isclose(out, ref, rtol=1e-3, atol=1e-3)
+    assert bad.mean() < 0.01, f"mismatch frac {bad.mean()}, max {np.abs(out - ref).max()}"
+    np.testing.assert_allclose(out.mean(0), ref.mean(0), rtol=1e-3)
