@@ -29,7 +29,7 @@ def main():
     from __graft_entry__ import _inline_walled_scheme
     from raytrace_tpu.render.renderer import Renderer
 
-    spd = int(os.environ.get("BENCH_SPD", "8"))
+    spd = int(os.environ.get("BENCH_SPD", "32"))
     scheme = _inline_walled_scheme(W, H, assured=5)
     scheme.render_info.width, scheme.render_info.height = W, H
     r = Renderer(scheme, samples_per_dispatch=spd)

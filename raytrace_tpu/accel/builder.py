@@ -119,6 +119,11 @@ def _coalesce_clusters(tree: KdTree, lo: np.ndarray, hi: np.ndarray, target: int
         bins.append(cur)
     if not bins:
         bins = [[]]
+    # an overfull leaf (one max-depth KD leaf holding hundreds of
+    # prims) must not widen EVERY cluster: the kernel's triangle loop
+    # runs the full padded width for every reached cluster, so split
+    # overfull bins into target-sized chunks instead
+    bins = [b[i : i + target] for b in bins for i in range(0, max(len(b), 1), target)]
     width = max(target, max(len(b) for b in bins))
     width = ((width + 7) // 8) * 8
     cp = np.full((len(bins), width), -1, np.int32)

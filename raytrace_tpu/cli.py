@@ -34,6 +34,9 @@ def main(argv=None):
     ap.add_argument("--checkpoint", default=None, help="save resume state here after each batch")
     ap.add_argument("--resume", default=None, help="resume from a checkpoint file")
     ap.add_argument("--platform", default=None, help="jax platform override (cpu/axon/tpu)")
+    ap.add_argument("--preview", type=int, default=None, metavar="PORT",
+                    help="serve a live browser preview on this port (the "
+                    "reference's live window, ui_util.rs:56-168)")
     args = ap.parse_args(argv)
 
     if args.platform:
@@ -64,10 +67,20 @@ def main(argv=None):
         renderer.target = ckpt.load(args.resume)
         print(f"resumed at {renderer.target.count} spp", flush=True)
 
+    preview = None
+    if args.preview is not None:
+        from .utils.preview import LivePreview
+
+        preview = LivePreview(port=args.preview)
+        preview.start()
+        print(f"live preview: http://127.0.0.1:{preview.port}/", flush=True)
+
     def hook(target):
         save_png(args.out, target.to_u8_rgba())
         if args.checkpoint:
             ckpt.save(args.checkpoint, target)
+        if preview is not None:
+            preview.update(target)
 
     t0 = time.time()
     renderer.render(samples=args.samples, update_hook=hook)

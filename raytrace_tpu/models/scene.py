@@ -435,6 +435,11 @@ def build_scene(scheme: Scheme, pad_mult: int = 2048, pad_small: int = 8) -> Sce
         desc = np.concatenate(
             [mt["rgb_tex"], mt["norm_tex"], mt["mr_tex"]], axis=1
         ).astype(np.int32)
+        # texture descriptors also ride bitcast in cols 38:47 — one row
+        # gather instead of two in the shading hot path (bit-exact:
+        # offsets exceed f32's 2^24 integer range so a numeric cast
+        # would corrupt them, a bitcast cannot)
+        attr[:, 38:47] = desc.view(np.float32)
         kw.update(
             mt_attr=_pad(attr, Mp),
             mt_desc=_pad(desc, Mp),

@@ -55,10 +55,10 @@ TRI_COLS = 16  # v0 xyz | e1 xyz | e2 xyz | gid | 6 pad
 
 
 def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, seed_ref,
-            bounds_ref, tri_hbm,
+            bounds_ref, sbounds_ref, tri_hbm,
             t_out, i_out, u_out, v_out,
             tri_vmem, dma_sem,
-            *, n_clusters: int, width: int):
+            *, n_super: int, group: int, width: int):
     ox, oy, oz = ox_ref[...], oy_ref[...], oz_ref[...]
     dx, dy, dz = dx_ref[...], dy_ref[...], dz_ref[...]
 
@@ -75,8 +75,8 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, seed_ref,
     u_out[...] = jnp.zeros_like(u_out[...])
     v_out[...] = jnp.zeros_like(v_out[...])
 
-    def cluster_body(c, _):
-        b = lambda j: bounds_ref[c, j]
+    def slab_reach(ref, c):
+        b = lambda j: ref[c, j]
         t0x = (b(0) - ox) * fx
         t1x = (b(3) - ox) * fx
         t0y = (b(1) - oy) * fy
@@ -91,7 +91,10 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, seed_ref,
             jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
             jnp.maximum(t0z, t1z),
         )
-        reach = (entry <= exit_) & (exit_ >= 0.0) & (entry < t_out[...])
+        return (entry <= exit_) & (exit_ >= 0.0) & (entry < t_out[...])
+
+    def cluster_body(c, _):
+        reach = slab_reach(bounds_ref, c)
 
         @pl.when(jnp.any(reach))
         def _():
@@ -135,36 +138,47 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, seed_ref,
 
         return 0
 
-    jax.lax.fori_loop(0, n_clusters, cluster_body, 0)
+    def super_body(s, _):
+        # two-level cull: one slab test retires `group` clusters at a
+        # time — at a380-scale cluster counts the flat loop's overhead
+        # (C sequential slab tests per ray block per bounce) dominates
+        @pl.when(jnp.any(slab_reach(sbounds_ref, s)))
+        def _():
+            jax.lax.fori_loop(s * group, (s + 1) * group, cluster_body, 0)
+
+        return 0
+
+    jax.lax.fori_loop(0, n_super, super_body, 0)
 
 
-def pack_mesh_tables(scene):
-    """SceneArrays clusters -> (bounds (C, 8) f32, tri (C, W/8, 128)
-    f32) numpy. Triangle w of cluster c at [c, w//8, (w%8)*16 + j];
-    gid packed as f32 in column 9; padding rows carry gid -1."""
-    C = int(scene.n_clusters)
-    W = int(scene.cl_idx.shape[1]) if C else 8
-    assert W % 8 == 0, W
-    bounds = np.zeros((max(C, 1), 8), np.float32)
-    tri = np.zeros((max(C, 1), W, TRI_COLS), np.float32)
-    tri[:, :, 9] = -1.0
-    if C:
-        bounds[:, 0:3] = np.asarray(scene.cl_lo)
-        bounds[:, 3:6] = np.asarray(scene.cl_hi)
-        tri[:, :, 0:3] = np.asarray(scene.cl_v0)
-        tri[:, :, 3:6] = np.asarray(scene.cl_e1)
-        tri[:, :, 6:9] = np.asarray(scene.cl_e2)
-        tri[:, :, 9] = np.asarray(scene.cl_idx).astype(np.float32)
-    return bounds, tri.reshape(max(C, 1), W // 8, 8 * TRI_COLS)
+GROUP = 16  # clusters per supercluster
+_NOHIT_LO, _NOHIT_HI = 3.0e38, -3.0e38  # inverted AABB: slab never hits
 
 
 def pack_mesh_tables_jnp(scene):
-    """Traced equivalent of pack_mesh_tables (for use inside jit)."""
+    """SceneArrays clusters -> (bounds (Cp, 8), sbounds (S, 8),
+    tri (Cp, W/8, 128)) jnp f32, Cp = C padded to a GROUP multiple.
+    Triangle w of cluster c at [c, w//8, (w%8)*16 + j]; gid packed as
+    f32 in column 9 (exact below 2^24 triangles); padding rows carry
+    gid -1. Empty/padding clusters get inverted AABBs so the slab test
+    retires them; superclusters are unions of GROUP consecutive
+    clusters (build order is spatially local)."""
     C = scene.n_clusters
     W = scene.cl_idx.shape[1]
     assert W % 8 == 0, W
-    bounds = jnp.concatenate(
-        [scene.cl_lo, scene.cl_hi, jnp.zeros((C, 2), jnp.float32)], axis=1
+    Cp = -(-C // GROUP) * GROUP
+    nonempty = (scene.cl_idx >= 0).any(axis=1)
+    lo = jnp.where(nonempty[:, None], scene.cl_lo, _NOHIT_LO)
+    hi = jnp.where(nonempty[:, None], scene.cl_hi, _NOHIT_HI)
+    pad = Cp - C
+    lo = jnp.concatenate([lo, jnp.full((pad, 3), _NOHIT_LO, jnp.float32)])
+    hi = jnp.concatenate([hi, jnp.full((pad, 3), _NOHIT_HI, jnp.float32)])
+    z2 = jnp.zeros((Cp, 2), jnp.float32)
+    bounds = jnp.concatenate([lo, hi, z2], axis=1)
+    slo = lo.reshape(Cp // GROUP, GROUP, 3).min(axis=1)
+    shi = hi.reshape(Cp // GROUP, GROUP, 3).max(axis=1)
+    sbounds = jnp.concatenate(
+        [slo, shi, jnp.zeros((Cp // GROUP, 2), jnp.float32)], axis=1
     )
     tri = jnp.concatenate(
         [
@@ -176,26 +190,42 @@ def pack_mesh_tables_jnp(scene):
         ],
         axis=2,
     )
-    return bounds, tri.reshape(C, W // 8, 8 * TRI_COLS)
+    tri_pad = jnp.zeros((pad, W, TRI_COLS), jnp.float32).at[:, :, 9].set(-1.0)
+    tri = jnp.concatenate([tri, tri_pad], axis=0)
+    return bounds, sbounds, tri.reshape(Cp, W // 8, 8 * TRI_COLS)
 
 
 @functools.partial(jax.jit, static_argnames=("n_clusters", "width", "interpret"))
-def mesh_hit_tiles(ox, oy, oz, dx, dy, dz, seed, bounds, tri,
+def mesh_hit_tiles(ox, oy, oz, dx, dy, dz, seed, bounds, sbounds, tri,
                    n_clusters: int, width: int, interpret: bool = False):
-    """All ray args (R, 128) lane grids; bounds (C, 8); tri
-    (C, W/8, 128). Returns (t, gid, u, v) each (R, 128); gid == -1
-    where nothing beat seed."""
+    """All ray args (R, 128) lane grids; bounds (Cp, 8); sbounds
+    (Cp/GROUP, 8); tri (Cp, W/8, 128) — from pack_mesh_tables_jnp
+    (n_clusters = the PADDED Cp). Returns (t, gid, u, v) each
+    (R, 128); gid == -1 where nothing beat seed."""
     rows = ox.shape[0]
     assert rows % SUBLANES == 0
+    assert n_clusters % GROUP == 0
     grid = rows // SUBLANES
     lane = pl.BlockSpec((SUBLANES, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    smem = lambda a: pl.BlockSpec(a.shape, lambda i: (0, 0, 0)[: a.ndim], memory_space=pltpu.SMEM)
-    kernel = functools.partial(_kernel, n_clusters=n_clusters, width=width)
+    # bounds are scalar-indexed at a dynamic cluster id — SMEM's native
+    # trick, but SMEM is tiny, so a380-class cluster counts fall back
+    # to VMEM (dynamic SUBLANE + static lane indexing works there too)
+    bounds_space = pltpu.SMEM if n_clusters <= 512 else pltpu.VMEM
+    table = lambda a, space: pl.BlockSpec(
+        a.shape, lambda i: (0, 0, 0)[: a.ndim], memory_space=space
+    )
+    kernel = functools.partial(
+        _kernel, n_super=n_clusters // GROUP, group=GROUP, width=width
+    )
     return pl.pallas_call(
         kernel,
         grid=(grid,),
         in_specs=[lane] * 7
-        + [smem(bounds), pl.BlockSpec(memory_space=pl.ANY)],
+        + [
+            table(bounds, bounds_space),
+            table(sbounds, pltpu.SMEM if sbounds.shape[0] <= 512 else pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
         out_specs=[lane, lane, lane, lane],
         out_shape=[
             jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
@@ -208,4 +238,4 @@ def mesh_hit_tiles(ox, oy, oz, dx, dy, dz, seed, bounds, tri,
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
-    )(ox, oy, oz, dx, dy, dz, seed, bounds, tri)
+    )(ox, oy, oz, dx, dy, dz, seed, bounds, sbounds, tri)

@@ -281,18 +281,18 @@ def closest_hit(scene, params, ro: Vec3, rd: Vec3, active=None):
 
         t_seed = t_best if active is None else jnp.where(active, t_best, -INF)
 
-        C = scene.n_clusters
         Wd = scene.cl_idx.shape[1]
-        # bounds live in SMEM; the (C, W, 16) triangle table stays in
-        # HBM and the kernel streams reached clusters into VMEM scratch
-        bounds, tri = pack_mesh_tables_jnp(scene)
+        # bounds scalar-indexed (SMEM/VMEM); the (Cp, W/8, 128)
+        # triangle table stays in HBM and the kernel streams reached
+        # clusters into VMEM scratch, two-level slab culled
+        bounds, sbounds, tri = pack_mesh_tables_jnp(scene)
         rows = n // 128
         resh = lambda a: a.reshape(rows, 128)
         tt, ti, tu, tv = mesh_hit_tiles(
             resh(ro.x), resh(ro.y), resh(ro.z),
             resh(rd.x), resh(rd.y), resh(rd.z),
-            resh(t_seed), bounds, tri,
-            n_clusters=C, width=Wd,
+            resh(t_seed), bounds, sbounds, tri,
+            n_clusters=bounds.shape[0], width=Wd,
         )
         tt, ti, tu, tv = tt.reshape(n), ti.reshape(n), tu.reshape(n), tv.reshape(n)
         mesh_won = ti >= 0
@@ -545,7 +545,9 @@ def _shade_hit(scene, params, ro: Vec3, rd: Vec3, t, kind, idx, bu, bv, draws):
             a = lambda j: attr[:, j]
             mt_const_norm = Vec3(a(0), a(1), a(2))
             if scene.any_textured:
-                desc = jnp.take(scene.mt_desc, mi, axis=0)  # (T, 9)
+                # descriptors ride bitcast in attr cols 38:47 (see
+                # models/scene.py) — saves the second row gather
+                desc = jax.lax.bitcast_convert_type(attr[:, 38:47], jnp.int32)
                 b0 = 1.0 - bu - bv
 
                 def interp(base):

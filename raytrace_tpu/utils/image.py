@@ -14,6 +14,16 @@ def save_png(path: str, rgba_or_rgb: np.ndarray):
     Image.fromarray(arr).save(path, format="PNG")
 
 
+def encode_png(rgba_or_rgb: np.ndarray) -> bytes:
+    """save_png to memory (same vertical flip); used by the live
+    preview server."""
+    import io
+
+    buf = io.BytesIO()
+    Image.fromarray(rgba_or_rgb[::-1]).save(buf, format="PNG")
+    return buf.getvalue()
+
+
 def load_png(path: str) -> np.ndarray:
     """Inverse of save_png: returns (H, W, C) u8 with row 0 = bottom."""
     arr = np.asarray(Image.open(path))

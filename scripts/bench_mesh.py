@@ -113,16 +113,34 @@ def main():
     ys = jnp.asarray(ys_all[perm].astype(np.int32))
     scene = jax.device_put(scene)
 
-    step = jax.jit(lambda sc, c, b: sample_batch(sc, c, params, W, H, xs, ys, b, 1))
-    t0 = time.time()
-    out = step(scene, cam, jnp.int32(0))
-    out.block_until_ready()
-    print(f"compile+first: {time.time()-t0:.1f}s", flush=True)
-    t0 = time.time()
-    for s in range(SPP):
-        out = step(scene, cam, jnp.int32(1 + s))
-    out.block_until_ready()
-    dt = time.time() - t0
+    if os.environ.get("BENCH_MESH_CLASSIC"):
+        step = jax.jit(lambda sc, c, b: sample_batch(sc, c, params, W, H, xs, ys, b, 1))
+        t0 = time.time()
+        out = step(scene, cam, jnp.int32(0))
+        out.block_until_ready()
+        print(f"compile+first: {time.time()-t0:.1f}s", flush=True)
+        t0 = time.time()
+        for s in range(SPP):
+            out = step(scene, cam, jnp.int32(1 + s))
+        out.block_until_ready()
+        dt = time.time() - t0
+    else:
+        from functools import partial
+        from raytrace_tpu.render.wavefront import wavefront_batch
+
+        pool = 1 << 17
+        step = jax.jit(partial(wavefront_batch, width=W, height=H, pool=pool))
+        t0 = time.time()
+        out = step(scene, cam, params, xs, ys, jnp.int32(0), jnp.int32(1))
+        out.block_until_ready()
+        print(f"compile+first: {time.time()-t0:.1f}s", flush=True)
+        # one dispatch per spp: at this scale a multi-spp dispatch can
+        # outlive the TPU runtime watchdog
+        t0 = time.time()
+        for s in range(SPP):
+            out = step(scene, cam, params, xs, ys, jnp.int32(1 + s), jnp.int32(1))
+        out.block_until_ready()
+        dt = time.time() - t0
     pps = W * H * SPP / dt
     print(f"steady: {dt:.1f}s for {SPP} spp -> {pps/1e6:.3f} Mpaths/s "
           f"(reference a380: GPU 0.26, CPU+kd 0.34)", flush=True)

@@ -192,3 +192,36 @@ def test_mjpeg_avi(tmp_path):
     data = open(p, "rb").read()
     assert data[:4] == b"RIFF" and data[8:12] == b"AVI "
     assert b"MJPG" in data and b"movi" in data and b"idx1" in data
+
+
+def test_live_preview_server():
+    """LivePreview serves the pushed frame over HTTP (the reference's
+    live-window equivalent, ui_util.rs:56-168)."""
+    import urllib.request
+
+    from raytrace_tpu.utils.preview import LivePreview
+
+    pv = LivePreview(port=0)
+    pv.start()
+    try:
+        url = f"http://127.0.0.1:{pv.port}"
+        page = urllib.request.urlopen(f"{url}/", timeout=5).read()
+        assert b"raytrace_tpu" in page
+        # no frame yet -> 404
+        try:
+            urllib.request.urlopen(f"{url}/frame", timeout=5)
+            assert False, "expected 404 before first frame"
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+        target = RenderTarget(8, 4)
+        target.add(np.full((32, 3), 0.5, np.float32), 1)
+        pv.update(target)
+        png = urllib.request.urlopen(f"{url}/frame", timeout=5).read()
+        assert png[:8] == b"\x89PNG\r\n\x1a\n"
+        from raytrace_tpu.utils.image import load_png
+        import io
+        from PIL import Image
+        arr = np.asarray(Image.open(io.BytesIO(png)))
+        assert arr.shape == (4, 8, 4)
+    finally:
+        pv.stop()
