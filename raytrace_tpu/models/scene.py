@@ -92,6 +92,13 @@ class SceneArrays:
     cl_idx: Any  # (C, W) i32 global mesh-tri id, -1 pad
     cl_lo: Any  # (C, 3) cluster AABB
     cl_hi: Any
+    # --- mesh-kernel tables, packed at build time (ops/pallas/
+    # mesh_hit_kernel.pack_mesh_tables_np): packing inside the traced
+    # bounce loop is loop-invariant in principle but scatters in the
+    # packers defeat hoisting in practice ---
+    mk_bounds: Any  # (Cp, 8) f32, Cp = C padded to GROUP
+    mk_sbounds: Any  # (Cp/GROUP, 8) f32 supercluster AABBs
+    mk_tri: Any  # (Cp, W/8, 128) f32
     # --- cubemap ---
     cm_offsets: Any  # (6,) i32
     cm_dims: Any  # (6, 2) i32 (w, h)
@@ -399,11 +406,11 @@ def build_scene(scheme: Scheme, pad_mult: int = 2048, pad_small: int = 8) -> Sce
         v0, v1, v2 = mt["v0"], mt["v1"], mt["v2"]
         lo3 = np.minimum(np.minimum(v0, v1), v2).astype(np.float32)
         hi3 = np.maximum(np.maximum(v0, v1), v2).astype(np.float32)
-        # adaptive cluster width: keep the cluster COUNT a few hundred
-        # (the culled traversal pays per-cluster slab tests every
-        # bounce) while widths stay VPU-friendly
-        leaf_target = int(max(64, min(512, M // 400)))
-        cp, cl_lo, cl_hi = build_clusters_bvh(lo3, hi3, leaf_target=leaf_target)
+        # fixed narrow clusters: the mesh kernel's two-level
+        # (supercluster) cull makes per-cluster slab overhead scale
+        # with REACHED groups, not total count, so fine granularity
+        # wins at every mesh size
+        cp, cl_lo, cl_hi = build_clusters_bvh(lo3, hi3, leaf_target=64)
         safe = np.maximum(cp, 0)
         kw.update(
             cl_v0=v0[safe].astype(np.float32),
@@ -414,6 +421,12 @@ def build_scene(scheme: Scheme, pad_mult: int = 2048, pad_small: int = 8) -> Sce
             cl_hi=cl_hi,
             n_clusters=int(cp.shape[0]),
         )
+        from ..ops.pallas.mesh_hit_kernel import pack_mesh_tables_np
+
+        mkb, mks, mkt = pack_mesh_tables_np(
+            kw["cl_idx"], cl_lo, cl_hi, kw["cl_v0"], kw["cl_e1"], kw["cl_e2"]
+        )
+        kw.update(mk_bounds=mkb, mk_sbounds=mks, mk_tri=mkt)
 
         any_tex = bool(
             (mt["rgb_tex"][:, 1] > 0).any()
@@ -474,6 +487,9 @@ def build_scene(scheme: Scheme, pad_mult: int = 2048, pad_small: int = 8) -> Sce
             cl_e2=np.zeros((0, 8, 3), np.float32),
             cl_idx=np.zeros((0, 8), np.int32),
             cl_lo=z3, cl_hi=z3,
+            mk_bounds=np.zeros((0, 8), np.float32),
+            mk_sbounds=np.zeros((0, 8), np.float32),
+            mk_tri=np.zeros((0, 1, 128), np.float32),
             mt_v0=z3, mt_e1=z3, mt_e2=z3, mt_const_norm=z3,
             mt_nrm_mat=np.zeros((0, 3, 3), np.float32),
             mt_norm_scale=np.zeros((0,), np.float32),

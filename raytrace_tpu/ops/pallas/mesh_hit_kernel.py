@@ -155,43 +155,36 @@ GROUP = 16  # clusters per supercluster
 _NOHIT_LO, _NOHIT_HI = 3.0e38, -3.0e38  # inverted AABB: slab never hits
 
 
-def pack_mesh_tables_jnp(scene):
-    """SceneArrays clusters -> (bounds (Cp, 8), sbounds (S, 8),
-    tri (Cp, W/8, 128)) jnp f32, Cp = C padded to a GROUP multiple.
-    Triangle w of cluster c at [c, w//8, (w%8)*16 + j]; gid packed as
-    f32 in column 9 (exact below 2^24 triangles); padding rows carry
-    gid -1. Empty/padding clusters get inverted AABBs so the slab test
-    retires them; superclusters are unions of GROUP consecutive
-    clusters (build order is spatially local)."""
-    C = scene.n_clusters
-    W = scene.cl_idx.shape[1]
+def pack_mesh_tables_np(cl_idx, cl_lo, cl_hi, cl_v0, cl_e1, cl_e2):
+    """Cluster arrays -> (bounds (Cp, 8), sbounds (S, 8),
+    tri (Cp, W/8, 128)) numpy f32, Cp = C padded to a GROUP multiple.
+    Runs ONCE at scene build. Triangle w of cluster c at
+    [c, w//8, (w%8)*16 + j]; gid packed as f32 in column 9 (exact
+    below 2^24 triangles); padding rows carry gid -1. Empty/padding
+    clusters get inverted AABBs so the slab test retires them;
+    superclusters are unions of GROUP consecutive clusters (build
+    order is spatially local)."""
+    cl_idx = np.asarray(cl_idx)
+    C, W = cl_idx.shape
     assert W % 8 == 0, W
-    Cp = -(-C // GROUP) * GROUP
-    nonempty = (scene.cl_idx >= 0).any(axis=1)
-    lo = jnp.where(nonempty[:, None], scene.cl_lo, _NOHIT_LO)
-    hi = jnp.where(nonempty[:, None], scene.cl_hi, _NOHIT_HI)
-    pad = Cp - C
-    lo = jnp.concatenate([lo, jnp.full((pad, 3), _NOHIT_LO, jnp.float32)])
-    hi = jnp.concatenate([hi, jnp.full((pad, 3), _NOHIT_HI, jnp.float32)])
-    z2 = jnp.zeros((Cp, 2), jnp.float32)
-    bounds = jnp.concatenate([lo, hi, z2], axis=1)
+    Cp = -(-max(C, 1) // GROUP) * GROUP
+    lo = np.full((Cp, 3), _NOHIT_LO, np.float32)
+    hi = np.full((Cp, 3), _NOHIT_HI, np.float32)
+    nonempty = (cl_idx >= 0).any(axis=1)
+    lo[:C][nonempty] = np.asarray(cl_lo)[nonempty]
+    hi[:C][nonempty] = np.asarray(cl_hi)[nonempty]
+    bounds = np.concatenate([lo, hi, np.zeros((Cp, 2), np.float32)], axis=1)
     slo = lo.reshape(Cp // GROUP, GROUP, 3).min(axis=1)
     shi = hi.reshape(Cp // GROUP, GROUP, 3).max(axis=1)
-    sbounds = jnp.concatenate(
-        [slo, shi, jnp.zeros((Cp // GROUP, 2), jnp.float32)], axis=1
+    sbounds = np.concatenate(
+        [slo, shi, np.zeros((Cp // GROUP, 2), np.float32)], axis=1
     )
-    tri = jnp.concatenate(
-        [
-            scene.cl_v0,
-            scene.cl_e1,
-            scene.cl_e2,
-            scene.cl_idx[:, :, None].astype(jnp.float32),
-            jnp.zeros((C, W, 6), jnp.float32),
-        ],
-        axis=2,
-    )
-    tri_pad = jnp.zeros((pad, W, TRI_COLS), jnp.float32).at[:, :, 9].set(-1.0)
-    tri = jnp.concatenate([tri, tri_pad], axis=0)
+    tri = np.zeros((Cp, W, TRI_COLS), np.float32)
+    tri[:, :, 9] = -1.0
+    tri[:C, :, 0:3] = np.asarray(cl_v0)
+    tri[:C, :, 3:6] = np.asarray(cl_e1)
+    tri[:C, :, 6:9] = np.asarray(cl_e2)
+    tri[:C, :, 9] = cl_idx.astype(np.float32)
     return bounds, sbounds, tri.reshape(Cp, W // 8, 8 * TRI_COLS)
 
 

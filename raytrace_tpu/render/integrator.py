@@ -277,22 +277,22 @@ def closest_hit(scene, params, ro: Vec3, rd: Vec3, active=None):
         and not params.differentiable
         and n % 1024 == 0
     ):
-        from ..ops.pallas.mesh_hit_kernel import mesh_hit_tiles, pack_mesh_tables_jnp
+        from ..ops.pallas.mesh_hit_kernel import mesh_hit_tiles
 
         t_seed = t_best if active is None else jnp.where(active, t_best, -INF)
 
         Wd = scene.cl_idx.shape[1]
         # bounds scalar-indexed (SMEM/VMEM); the (Cp, W/8, 128)
-        # triangle table stays in HBM and the kernel streams reached
-        # clusters into VMEM scratch, two-level slab culled
-        bounds, sbounds, tri = pack_mesh_tables_jnp(scene)
+        # triangle table (packed once at scene build) stays in HBM and
+        # the kernel streams reached clusters into VMEM scratch,
+        # two-level slab culled
         rows = n // 128
         resh = lambda a: a.reshape(rows, 128)
         tt, ti, tu, tv = mesh_hit_tiles(
             resh(ro.x), resh(ro.y), resh(ro.z),
             resh(rd.x), resh(rd.y), resh(rd.z),
-            resh(t_seed), bounds, sbounds, tri,
-            n_clusters=bounds.shape[0], width=Wd,
+            resh(t_seed), scene.mk_bounds, scene.mk_sbounds, scene.mk_tri,
+            n_clusters=scene.mk_bounds.shape[0], width=Wd,
         )
         tt, ti, tu, tv = tt.reshape(n), ti.reshape(n), tu.reshape(n), tv.reshape(n)
         mesh_won = ti >= 0

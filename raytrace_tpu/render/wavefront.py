@@ -67,6 +67,7 @@ def wavefront_batch(
     width: int,
     height: int,
     pool: int,
+    sort_lanes: bool = False,
     return_stats: bool = False,
 ):
     """Radiance SUM over n_samples for every pixel.
@@ -85,7 +86,30 @@ def wavefront_batch(
     ones = jnp.ones((pool,), jnp.float32)
 
     def assign(st, q):
-        """Hand the next work units to every dead lane; advance q."""
+        """Hand the next work units to every dead lane; advance q.
+
+        With sort_lanes, the pool is first stably partitioned
+        alive-first (two prefix sums — no sort primitive): survivors
+        compact to the front preserving their order, and the fresh
+        work — handed out in pixel-tile order — fills a CONTIGUOUS
+        tail, keeping ray blocks spatially coherent for the mesh
+        kernel's per-block culling. Measured on v5e: the ~21
+        full-state permute gathers cost ~24 ms per 128k-lane
+        iteration, which LOSES on scenes whose per-iteration kernel
+        cost is small (biplane 2.95 -> 1.68 Mpaths/s) — default off;
+        enable for scenes where diverged secondary rays make the
+        cluster kernel dominant."""
+        if sort_lanes:
+            alive = st["active"]
+            na = jnp.cumsum(alive.astype(jnp.int32))
+            nd = jnp.cumsum((~alive).astype(jnp.int32))
+            dest = jnp.where(alive, na - 1, na[-1] + nd - 1)
+            inv = (
+                jnp.zeros((pool,), jnp.int32)
+                .at[dest]
+                .set(jnp.arange(pool, dtype=jnp.int32))
+            )
+            st = jax.tree.map(lambda a: jnp.take(a, inv, axis=0), st)
         need = ~st["active"]
         ranks = jnp.cumsum(need.astype(jnp.int32))
         ids = q + ranks - 1

@@ -129,7 +129,10 @@ def main():
         from raytrace_tpu.render.wavefront import wavefront_batch
 
         pool = 1 << 17
-        step = jax.jit(partial(wavefront_batch, width=W, height=H, pool=pool))
+        sort_lanes = os.environ.get("WF_SORT", "0") == "1"
+        print(f"sort_lanes={sort_lanes}", flush=True)
+        step = jax.jit(partial(wavefront_batch, width=W, height=H, pool=pool,
+                               sort_lanes=sort_lanes))
         t0 = time.time()
         out = step(scene, cam, params, xs, ys, jnp.int32(0), jnp.int32(1))
         out.block_until_ready()

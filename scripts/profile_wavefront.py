@@ -34,10 +34,13 @@ r = Renderer(scheme, use_wavefront=True, use_fused=False)
 assert r.use_wavefront
 scene_dev = jax.device_put(r.scene)
 
+sort_lanes = os.environ.get("WF_SORT", "1") == "1"
+print(f"sort_lanes={sort_lanes}")
 step = jax.jit(
     partial(
         wf.wavefront_batch,
         width=r.width, height=r.height, pool=r.wf_pool, return_stats=True,
+        sort_lanes=sort_lanes,
     )
 )
 
