@@ -8,22 +8,27 @@ tile's slab test) costs nanoseconds.
 Memory layout (the part that makes this compile AND scale):
   * cluster AABBs: (C, 8) f32 in SMEM — scalar reads at a dynamic
     cluster index are an SMEM feature;
-  * triangle table: (C, W/8, 128) f32 in compiler-chosen memory
-    ("ANY" — VMEM when it fits, HBM at large scale). Each 128-lane
-    row packs EIGHT triangles of 16 columns
-    [v0(3) | e1(3) | e2(3) | gid-as-f32 | pad]: triangle w of cluster
-    c lives at [c, w//8, (w%8)*16 + j]. That exact-128 minor dim is
-    what makes this legal on the hardware: the per-cluster DMA slice
-    .at[c] is tile-aligned, and the triangle loop reads
-    scratch[w8, K*16+j] with a dynamic SUBLANE index and a STATIC
-    lane index (the 8 in-row triangles are a static unroll). Every
-    alternative fails: a (16, C*W) layout needs dynamic lane offsets
-    (Mosaic requires them provably 128-aligned), a (C*W, 16) VMEM
-    table pads 16 -> 128 lanes and OOMs at a380 scale, and a
+  * triangle table: (S, GROUP*W/8, 128) f32 in compiler-chosen memory
+    ("ANY" — VMEM when it fits, HBM at large scale), supercluster-
+    major so ONE DMA copies a whole reached group of GROUP clusters
+    (per-cluster 4 KB copies issued start->wait were latency-bound at
+    a380 scale; the group copy amortizes the ~µs DMA latency 16x and
+    overlaps with the group's cluster slab tests, which only read the
+    resident bounds table). Each 128-lane row packs EIGHT triangles
+    of 16 columns [v0(3) | e1(3) | e2(3) | gid-as-f32 | pad]:
+    triangle w of cluster c lives at
+    [c//GROUP, (c%GROUP)*(W/8) + w//8, (w%8)*16 + j]. That exact-128
+    minor dim is what makes this legal on the hardware: the DMA slice
+    .at[s] is tile-aligned, and the triangle loop reads
+    scratch[base + w8, K*16+j] with a dynamic SUBLANE index and a
+    STATIC lane index (the 8 in-row triangles are a static unroll).
+    Every alternative fails: a (16, C*W) layout needs dynamic lane
+    offsets (Mosaic requires them provably 128-aligned), a (C*W, 16)
+    VMEM table pads 16 -> 128 lanes and OOMs at a380 scale, and a
     (C, W, 16) DMA slice violates tiling alignment. Streaming reached
-    clusters from wherever the table lives removes the
+    groups from wherever the table lives removes the
     mesh-must-fit-VMEM limit entirely; the slab cull means only
-    reached clusters pay the DMA.
+    reached groups pay the DMA.
 
 The global triangle id rides in the f32 table (exact for meshes up to
 2^24 triangles); -1 marks padding rows.
@@ -93,50 +98,7 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, seed_ref,
         )
         return (entry <= exit_) & (exit_ >= 0.0) & (entry < t_out[...])
 
-    def cluster_body(c, _):
-        reach = slab_reach(bounds_ref, c)
-
-        @pl.when(jnp.any(reach))
-        def _():
-            cp = pltpu.make_async_copy(tri_hbm.at[c], tri_vmem, dma_sem)
-            cp.start()
-            cp.wait()
-
-            def row_body(w8, _):
-                for k in range(8):  # static unroll: lane index stays static
-                    tr = lambda j: tri_vmem[w8, k * TRI_COLS + j]
-                    e1x, e1y, e1z = tr(3), tr(4), tr(5)
-                    e2x, e2y, e2z = tr(6), tr(7), tr(8)
-                    pvx = dy * e2z - dz * e2y
-                    pvy = dz * e2x - dx * e2z
-                    pvz = dx * e2y - dy * e2x
-                    det = e1x * pvx + e1y * pvy + e1z * pvz
-                    ok = jnp.abs(det) >= EPS
-                    inv_det = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
-                    hx, hy, hz = ox - tr(0), oy - tr(1), oz - tr(2)
-                    u = inv_det * (hx * pvx + hy * pvy + hz * pvz)
-                    qx = hy * e1z - hz * e1y
-                    qy = hz * e1x - hx * e1z
-                    qz = hx * e1y - hy * e1x
-                    w_ = inv_det * (dx * qx + dy * qy + dz * qz)
-                    t_i = inv_det * (e2x * qx + e2y * qy + e2z * qz)
-                    gid_f = tr(9)
-                    ok2 = ok & (u >= 0.0) & (u <= 1.0) & (w_ >= 0.0) & (u + w_ <= 1.0)
-                    ok2 = ok2 & (t_i >= EPS) & (gid_f >= 0.0)
-                    better = ok2 & (jnp.where(ok2, t_i, INF) < t_out[...])
-                    t_out[...] = jnp.where(better, t_i, t_out[...])
-                    i_out[...] = jnp.where(
-                        better,
-                        jnp.full_like(i_out[...], gid_f.astype(jnp.int32)),
-                        i_out[...],
-                    )
-                    u_out[...] = jnp.where(better, u, u_out[...])
-                    v_out[...] = jnp.where(better, w_, v_out[...])
-                return 0
-
-            jax.lax.fori_loop(0, width // 8, row_body, 0)
-
-        return 0
+    rows_per_cluster = width // 8
 
     def super_body(s, _):
         # two-level cull: one slab test retires `group` clusters at a
@@ -144,7 +106,56 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, seed_ref,
         # (C sequential slab tests per ray block per bounce) dominates
         @pl.when(jnp.any(slab_reach(sbounds_ref, s)))
         def _():
-            jax.lax.fori_loop(s * group, (s + 1) * group, cluster_body, 0)
+            # ONE DMA per reached supercluster (group*width triangles
+            # at once): per-cluster 4 KB copies were issued serially
+            # (start->wait) and their ~µs latency dominated a380-scale
+            # renders. The group's cluster slab tests only need the
+            # resident bounds table, so they run while the copy is in
+            # flight.
+            cp = pltpu.make_async_copy(tri_hbm.at[s], tri_vmem, dma_sem)
+            cp.start()
+            reaches = [
+                jnp.any(slab_reach(bounds_ref, s * group + cl))
+                for cl in range(group)
+            ]
+            cp.wait()
+
+            for cl in range(group):  # static unroll
+                def row_body(w8, _, base=cl * rows_per_cluster):
+                    for k in range(8):  # static unroll: lane index stays static
+                        tr = lambda j: tri_vmem[base + w8, k * TRI_COLS + j]
+                        e1x, e1y, e1z = tr(3), tr(4), tr(5)
+                        e2x, e2y, e2z = tr(6), tr(7), tr(8)
+                        pvx = dy * e2z - dz * e2y
+                        pvy = dz * e2x - dx * e2z
+                        pvz = dx * e2y - dy * e2x
+                        det = e1x * pvx + e1y * pvy + e1z * pvz
+                        ok = jnp.abs(det) >= EPS
+                        inv_det = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
+                        hx, hy, hz = ox - tr(0), oy - tr(1), oz - tr(2)
+                        u = inv_det * (hx * pvx + hy * pvy + hz * pvz)
+                        qx = hy * e1z - hz * e1y
+                        qy = hz * e1x - hx * e1z
+                        qz = hx * e1y - hy * e1x
+                        w_ = inv_det * (dx * qx + dy * qy + dz * qz)
+                        t_i = inv_det * (e2x * qx + e2y * qy + e2z * qz)
+                        gid_f = tr(9)
+                        ok2 = ok & (u >= 0.0) & (u <= 1.0) & (w_ >= 0.0) & (u + w_ <= 1.0)
+                        ok2 = ok2 & (t_i >= EPS) & (gid_f >= 0.0)
+                        better = ok2 & (jnp.where(ok2, t_i, INF) < t_out[...])
+                        t_out[...] = jnp.where(better, t_i, t_out[...])
+                        i_out[...] = jnp.where(
+                            better,
+                            jnp.full_like(i_out[...], gid_f.astype(jnp.int32)),
+                            i_out[...],
+                        )
+                        u_out[...] = jnp.where(better, u, u_out[...])
+                        v_out[...] = jnp.where(better, w_, v_out[...])
+                    return 0
+
+                @pl.when(reaches[cl])
+                def _(row_body=row_body):
+                    jax.lax.fori_loop(0, rows_per_cluster, row_body, 0)
 
         return 0
 
@@ -157,13 +168,15 @@ _NOHIT_LO, _NOHIT_HI = 3.0e38, -3.0e38  # inverted AABB: slab never hits
 
 def pack_mesh_tables_np(cl_idx, cl_lo, cl_hi, cl_v0, cl_e1, cl_e2):
     """Cluster arrays -> (bounds (Cp, 8), sbounds (S, 8),
-    tri (Cp, W/8, 128)) numpy f32, Cp = C padded to a GROUP multiple.
-    Runs ONCE at scene build. Triangle w of cluster c at
-    [c, w//8, (w%8)*16 + j]; gid packed as f32 in column 9 (exact
-    below 2^24 triangles); padding rows carry gid -1. Empty/padding
-    clusters get inverted AABBs so the slab test retires them;
-    superclusters are unions of GROUP consecutive clusters (build
-    order is spatially local)."""
+    tri (S, GROUP*W/8, 128)) numpy f32, Cp = C padded to a GROUP
+    multiple, S = Cp/GROUP. Runs ONCE at scene build. Triangle w of
+    cluster c at [c//GROUP, (c%GROUP)*(W/8) + w//8, (w%8)*16 + j];
+    gid packed as f32 in column 9 (exact below 2^24 triangles);
+    padding rows carry gid -1. Empty/padding clusters get inverted
+    AABBs so the slab test retires them; superclusters are unions of
+    GROUP consecutive clusters (build order is spatially local).
+    The supercluster-major table lets the kernel DMA a whole reached
+    group in one copy."""
     cl_idx = np.asarray(cl_idx)
     C, W = cl_idx.shape
     assert W % 8 == 0, W
@@ -185,16 +198,16 @@ def pack_mesh_tables_np(cl_idx, cl_lo, cl_hi, cl_v0, cl_e1, cl_e2):
     tri[:C, :, 3:6] = np.asarray(cl_e1)
     tri[:C, :, 6:9] = np.asarray(cl_e2)
     tri[:C, :, 9] = cl_idx.astype(np.float32)
-    return bounds, sbounds, tri.reshape(Cp, W // 8, 8 * TRI_COLS)
+    return bounds, sbounds, tri.reshape(Cp // GROUP, GROUP * (W // 8), 8 * TRI_COLS)
 
 
 @functools.partial(jax.jit, static_argnames=("n_clusters", "width", "interpret"))
 def mesh_hit_tiles(ox, oy, oz, dx, dy, dz, seed, bounds, sbounds, tri,
                    n_clusters: int, width: int, interpret: bool = False):
     """All ray args (R, 128) lane grids; bounds (Cp, 8); sbounds
-    (Cp/GROUP, 8); tri (Cp, W/8, 128) — from pack_mesh_tables_jnp
-    (n_clusters = the PADDED Cp). Returns (t, gid, u, v) each
-    (R, 128); gid == -1 where nothing beat seed."""
+    (Cp/GROUP, 8); tri (Cp/GROUP, GROUP*W/8, 128) — from
+    pack_mesh_tables_np (n_clusters = the PADDED Cp). Returns
+    (t, gid, u, v) each (R, 128); gid == -1 where nothing beat seed."""
     rows = ox.shape[0]
     assert rows % SUBLANES == 0
     assert n_clusters % GROUP == 0
@@ -227,7 +240,7 @@ def mesh_hit_tiles(ox, oy, oz, dx, dy, dz, seed, bounds, sbounds, tri,
             jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((width // 8, 8 * TRI_COLS), jnp.float32),
+            pltpu.VMEM((GROUP * (width // 8), 8 * TRI_COLS), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,

@@ -146,24 +146,55 @@ def _kernel(
          lr, lg, lb, mdx, mdy, mdz, mwr, mwg, mwb, active_f, depth, sk) = carry
         active = active_f > 0.5
 
-        # ---- closest hit: spheres (unrolled over SMEM scalars) ----
+        # ---- closest hit + attribute gather, ONE unrolled pass ----
+        # The attributes of the current best primitive are selected with
+        # the same `better` mask the t-min select uses (last strictly
+        # closer hit wins), which removes the second 13-way select pass
+        # and its per-primitive mask recompute, and the per-sphere
+        # normalize: the sphere normal is computed once post-loop from
+        # the selected center. `near < far` <=> sqrt(disc) > 0 <=>
+        # disc > 0, so the redundant compare is dropped.
         t_best = jnp.full_like(dx, INF)
         kind = zero  # 0 none / 1 sphere / 2 freetri (f32 compares)
-        idx = zero
+        scx = zero; scy = zero; scz = zero  # best-sphere center
+        nxv = zero; nyv = zero; nzv = zero  # free-tri stored normal
+        rgb_r = zero; rgb_g = zero; rgb_b = zero
+        em_r = zero; em_g = zero; em_b = zero
+        has_em = zero; mkind = zero; diffp = zero
+        n_out = one; n_in = one
+
+        def sel_common(better, g):
+            nonlocal rgb_r, rgb_g, rgb_b, em_r, em_g, em_b
+            nonlocal has_em, mkind, diffp, n_out, n_in
+            rgb_r = jnp.where(better, g("rr"), rgb_r)
+            rgb_g = jnp.where(better, g("gg"), rgb_g)
+            rgb_b = jnp.where(better, g("bb"), rgb_b)
+            em_r = jnp.where(better, g("em_r"), em_r)
+            em_g = jnp.where(better, g("em_g"), em_g)
+            em_b = jnp.where(better, g("em_b"), em_b)
+            has_em = jnp.where(better, g("has_em"), has_em)
+            mkind = jnp.where(better, g("kind"), mkind)
+            diffp = jnp.where(better, g("diffp"), diffp)
+            n_out = jnp.where(better, g("n_out"), n_out)
+            n_in = jnp.where(better, g("n_in"), n_in)
+
         for si in range(n_sph):
             s = lambda k: sph_ref[si, _SC[k]]
             ocx, ocy, ocz = ox - s("cx"), oy - s("cy"), oz - s("cz")
             dirv = dx * ocx + dy * ocy + dz * ocz
             consts = ocx * ocx + ocy * ocy + ocz * ocz - s("r") * s("r")
             disc = dirv * dirv - consts
-            sq = jnp.sqrt(jnp.where(disc > 0.0, disc, 1.0))
+            pos = disc > 0.0
+            sq = jnp.sqrt(jnp.where(pos, disc, 1.0))
             near = -dirv - sq
-            far = -dirv + sq
-            t_i = jnp.where((disc > 0.0) & (near > 0.0) & (near < far), near, INF)
+            t_i = jnp.where(pos & (near > 0.0), near, INF)
             better = t_i < t_best
             t_best = jnp.where(better, t_i, t_best)
             kind = jnp.where(better, 1.0, kind)
-            idx = jnp.where(better, float(si), idx)
+            scx = jnp.where(better, s("cx"), scx)
+            scy = jnp.where(better, s("cy"), scy)
+            scz = jnp.where(better, s("cz"), scz)
+            sel_common(better, s)
         for fi in range(n_ft):
             f = lambda k: ft_ref[fi, _FC[k]]
             e1x, e1y, e1z = f("e1x"), f("e1y"), f("e1z")
@@ -186,7 +217,10 @@ def _kernel(
             better = t_i < t_best
             t_best = jnp.where(better, t_i, t_best)
             kind = jnp.where(better, 2.0, kind)
-            idx = jnp.where(better, float(fi), idx)
+            nxv = jnp.where(better, f("nx"), nxv)
+            nyv = jnp.where(better, f("ny"), nyv)
+            nzv = jnp.where(better, f("nz"), nzv)
+            sel_common(better, f)
 
         hit = kind > 0.5
         miss = ~hit
@@ -199,51 +233,16 @@ def _kernel(
         state, u3 = _next_f32(state)
         state, u7 = _next_f32(state)
 
-        # ---- gather hit attributes (unrolled masked selects) ----
-        nxv = zero; nyv = zero; nzv = zero
-        rgb_r = zero; rgb_g = zero; rgb_b = zero
-        em_r = zero; em_g = zero; em_b = zero
-        has_em = zero; mkind = zero; diffp = zero
-        n_out = one; n_in = one
         t_safe = jnp.where(hit, t_best, 0.0)
         px = ox + dx * t_safe
         py = oy + dy * t_safe
         pz = oz + dz * t_safe
-        for si in range(n_sph):
-            s = lambda k: sph_ref[si, _SC[k]]
-            m = (kind == 1.0) & (idx == float(si))
-            snx, sny, snz = _norm3(px - s("cx"), py - s("cy"), pz - s("cz"))
-            nxv = jnp.where(m, snx, nxv)
-            nyv = jnp.where(m, sny, nyv)
-            nzv = jnp.where(m, snz, nzv)
-            rgb_r = jnp.where(m, s("rr"), rgb_r)
-            rgb_g = jnp.where(m, s("gg"), rgb_g)
-            rgb_b = jnp.where(m, s("bb"), rgb_b)
-            em_r = jnp.where(m, s("em_r"), em_r)
-            em_g = jnp.where(m, s("em_g"), em_g)
-            em_b = jnp.where(m, s("em_b"), em_b)
-            has_em = jnp.where(m, s("has_em"), has_em)
-            mkind = jnp.where(m, s("kind"), mkind)
-            diffp = jnp.where(m, s("diffp"), diffp)
-            n_out = jnp.where(m, s("n_out"), n_out)
-            n_in = jnp.where(m, s("n_in"), n_in)
-        for fi in range(n_ft):
-            f = lambda k: ft_ref[fi, _FC[k]]
-            m = (kind == 2.0) & (idx == float(fi))
-            nxv = jnp.where(m, f("nx"), nxv)
-            nyv = jnp.where(m, f("ny"), nyv)
-            nzv = jnp.where(m, f("nz"), nzv)
-            rgb_r = jnp.where(m, f("rr"), rgb_r)
-            rgb_g = jnp.where(m, f("gg"), rgb_g)
-            rgb_b = jnp.where(m, f("bb"), rgb_b)
-            em_r = jnp.where(m, f("em_r"), em_r)
-            em_g = jnp.where(m, f("em_g"), em_g)
-            em_b = jnp.where(m, f("em_b"), em_b)
-            has_em = jnp.where(m, f("has_em"), has_em)
-            mkind = jnp.where(m, f("kind"), mkind)
-            diffp = jnp.where(m, f("diffp"), diffp)
-            n_out = jnp.where(m, f("n_out"), n_out)
-            n_in = jnp.where(m, f("n_in"), n_in)
+        if n_sph:
+            snx, sny, snz = _norm3(px - scx, py - scy, pz - scz)
+            is_sph = kind == 1.0
+            nxv = jnp.where(is_sph, snx, nxv)
+            nyv = jnp.where(is_sph, sny, nyv)
+            nzv = jnp.where(is_sph, snz, nzv)
 
         posx = px + nxv * EPS
         posy = py + nyv * EPS
