@@ -64,8 +64,15 @@ def main(argv=None):
 
     renderer = Renderer(scheme, mode=args.mode)
     if args.resume:
-        renderer.target = ckpt.load(args.resume)
-        print(f"resumed at {renderer.target.count} spp", flush=True)
+        loaded = ckpt.load(args.resume)
+        if (loaded.width, loaded.height) != (renderer.width, renderer.height):
+            raise SystemExit(
+                f"checkpoint is {loaded.width}x{loaded.height}, "
+                f"scheme renders {renderer.width}x{renderer.height}"
+            )
+        renderer.target = loaded
+        print(f"resumed at {renderer.target.count} spp "
+              "(sample streams continue where they left off)", flush=True)
 
     preview = None
     if args.preview is not None:

@@ -24,6 +24,7 @@ from ..models.camera import Camera, build_camera
 from ..models.config import Scheme
 from ..models.scene import SceneArrays, build_scene
 from ..ops import raygen, rng
+from . import wavefront as _wf
 from .integrator import IntegratorParams, trace_paths
 from .target import RenderTarget
 
@@ -182,6 +183,27 @@ def sample_batch_fused(
     return acc.to_array()
 
 
+# module-level shared jits: every Renderer instance (and every animation
+# frame, which builds one Renderer per frame — renderer.rs:169-204's
+# shape) reuses the SAME traced/compiled executable for a given
+# (shapes, statics) key instead of re-jitting through a fresh
+# functools.partial each time.
+_jit_step = jax.jit(
+    sample_batch,
+    static_argnames=("width", "height", "samples_per_dispatch"),
+)
+_jit_fused_step = jax.jit(
+    sample_batch_fused,
+    static_argnames=(
+        "width", "height", "samples_per_dispatch", "samples_per_lane", "has_lens",
+    ),
+)
+_jit_wavefront_step = jax.jit(
+    _wf.wavefront_batch,
+    static_argnames=("width", "height", "pool", "sort_lanes", "return_stats"),
+)
+
+
 def _params_from_scheme(scheme: Scheme, mode: str, differentiable: bool, mesh_chunk: int):
     ri = scheme.render_info.rad_info
     return IntegratorParams(
@@ -287,42 +309,34 @@ class Renderer:
             self._cam_vec = jnp.asarray(
                 tk.make_cam_vec(self.camera, float(scheme.render_info.rad_info.russ_roull_info.max_thres))
             )
-            self._fstep = jax.jit(
-                partial(
-                    sample_batch_fused,
-                    width=self.width, height=self.height,
-                    samples_per_dispatch=self.spd,
-                    samples_per_lane=self._fspl,
-                    has_lens=self.camera.lens_r is not None,
-                ),
-                static_argnames=(),
+            self._fstep = partial(
+                _jit_fused_step,
+                width=self.width, height=self.height,
+                samples_per_dispatch=self.spd,
+                samples_per_lane=self._fspl,
+                has_lens=self.camera.lens_r is not None,
             )
 
-        self._step = jax.jit(
-            partial(sample_batch, width=self.width, height=self.height,
-                    samples_per_dispatch=1),
-            static_argnames=(),
+        self._step = partial(
+            _jit_step, width=self.width, height=self.height,
+            samples_per_dispatch=1,
         )
 
         # wavefront lane-regeneration driver (render/wavefront.py):
         # default for every non-fused forward render it supports — the
         # masked bounce loop wastes most of its width on dead lanes
-        from . import wavefront as wf
-
         if use_wavefront is None:
-            use_wavefront = not self.use_fused and wf.supports(self.scene, self.params)
+            use_wavefront = not self.use_fused and _wf.supports(self.scene, self.params)
         self.use_wavefront = (
-            use_wavefront and not self.use_fused and wf.supports(self.scene, self.params)
+            use_wavefront and not self.use_fused and _wf.supports(self.scene, self.params)
         )
         if self.use_wavefront:
             self.wf_pool = min(1 << 17, -(-n_pix // 1024) * 1024)
             self._wxs = jnp.asarray((self._perm % self.width).astype(np.int32))
             self._wys = jnp.asarray((self._perm // self.width).astype(np.int32))
-            self._wstep = jax.jit(
-                partial(
-                    wf.wavefront_batch,
-                    width=self.width, height=self.height, pool=self.wf_pool,
-                )
+            self._wstep = partial(
+                _jit_wavefront_step,
+                width=self.width, height=self.height, pool=self.wf_pool,
             )
 
     def render(
@@ -332,10 +346,12 @@ class Renderer:
         update_hook: Optional[Callable[[RenderTarget], None]] = None,
         progress: bool = True,
     ) -> np.ndarray:
-        """Run the full sample budget; returns (H, W, 3) f32 mean image
-        (row 0 = bottom). update_hook fires after every batch with the
-        live target (the reference's per-sample preview push,
-        draw_scene.rs:97-99)."""
+        """Run `samples` MORE samples (sample ids continue at
+        target.count, so a checkpoint-resumed or incremental render is
+        bit-exact — no RNG stream is ever reused); returns (H, W, 3)
+        f32 mean image (row 0 = bottom). update_hook fires after every
+        batch with the live target (the reference's per-sample preview
+        push, draw_scene.rs:97-99)."""
         info = self.scheme.render_info
         total = samples if samples is not None else info.samps_per_pix
         b = batch or info.render_batch or total
@@ -350,7 +366,6 @@ class Renderer:
             # occupancy lever.
             b = min(b, 16 if self.use_wavefront else 2)
 
-        it = range(0, total, b)
         bar = None
         if progress:
             try:
@@ -365,8 +380,10 @@ class Renderer:
 
         scene_dev = jax.device_put(self.scene)
         n_pix = self.width * self.height
-        for base in it:
-            n = min(b, total - base)
+        rendered = 0
+        while rendered < total:
+            n = min(b, total - rendered)
+            base = self.target.count  # sample ids continue across calls
             if self.use_fused:
                 n_f = max(self.spd, (n // self.spd) * self.spd)
                 out = self._fstep(
@@ -415,6 +432,7 @@ class Renderer:
                 res = np.empty((n_pix, 3), np.float32)
                 res[self._perm] = flat
                 self.target.add(res, n)
+            rendered += n
             meter.add(n * n_pix)
             if bar is not None:
                 bar.update(n)

@@ -225,3 +225,31 @@ def test_live_preview_server():
         assert arr.shape == (4, 8, 4)
     finally:
         pv.stop()
+
+
+def test_checkpoint_resume_exact(tmp_path):
+    """A render interrupted at k spp, checkpointed, loaded, and
+    continued must produce the SAME accumulator as an uninterrupted
+    render: sample ids continue at target.count (renderer.render), and
+    per-(pixel, sample) RNG streams make the continuation bit-exact
+    (SURVEY.md §5 — the reference cannot resume at all)."""
+    from raytrace_tpu.render.renderer import Renderer
+    from raytrace_tpu.utils import checkpoint as ckpt
+
+    scheme = _scheme()
+
+    full = Renderer(scheme)
+    full.render(samples=4, batch=2, progress=False)
+
+    first = Renderer(scheme)
+    first.render(samples=2, batch=2, progress=False)
+    path = str(tmp_path / "ck.npz")
+    ckpt.save(path, first.target)
+
+    resumed = Renderer(scheme)
+    resumed.target = ckpt.load(path)
+    assert resumed.target.count == 2
+    resumed.render(samples=2, batch=2, progress=False)
+
+    assert resumed.target.count == full.target.count == 4
+    np.testing.assert_allclose(resumed.target.acc, full.target.acc, rtol=0, atol=0)
