@@ -55,3 +55,12 @@ def test_spaceship_golden():
     np.testing.assert_allclose(
         mean, [0.13673897, 0.1394094, 0.14574774], rtol=1e-4, atol=1e-4
     )
+
+
+def test_outside_spheres_golden():
+    # cubemap (skybox) miss path: recorded from the verified render
+    # whose full-scheme smoke matched the reference's look
+    mean = _render_mean("outside_spheres.yml", 8, 8)
+    np.testing.assert_allclose(
+        mean, [0.471698, 0.511393, 0.552839], rtol=1e-4, atol=1e-4
+    )
