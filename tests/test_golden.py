@@ -57,6 +57,16 @@ def test_spaceship_golden():
     )
 
 
+def test_biplane_golden():
+    # full textured-mesh path: base-color + normal-map + metal-rough
+    # sampling, per-triangle tangent-space transforms (pr/model.rs /
+    # mesh/triangle.rs semantics)
+    mean = _render_mean("biplane.yml", 12, 2)
+    np.testing.assert_allclose(
+        mean, [0.502911, 0.576209, 0.639305], rtol=1e-4, atol=1e-4
+    )
+
+
 def test_outside_spheres_golden():
     # cubemap (skybox) miss path: recorded from the verified render
     # whose full-scheme smoke matched the reference's look
