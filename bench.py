@@ -20,7 +20,11 @@ BASELINE_PATHS_PER_S = 1.8e9  # walled GPU: 1200*600*20000 / 8 s (BASELINE.md)
 
 W, H = 1200, 600
 WARMUP_SPP = 1
-BENCH_SPP = int(os.environ.get("BENCH_SPP", "200"))
+# 6000 spp ~= the steady-state plateau (313 Mpaths/s on v5e vs 302 at
+# 2000, 251 at 600, 190 at 200): the ~0.6 s fixed per-render cost
+# (dispatch + final readback) must be amortized to measure device
+# throughput — the reference's own protocol is a 20000-spp run.
+BENCH_SPP = int(os.environ.get("BENCH_SPP", "6000"))
 
 
 def main():
@@ -29,7 +33,10 @@ def main():
     from __graft_entry__ import _inline_walled_scheme
     from raytrace_tpu.render.renderer import Renderer
 
-    spd = int(os.environ.get("BENCH_SPD", "32"))
+    # 64 samples/lane per launch beats 32 at steady state (328.8 vs
+    # 313.7 Mpaths/s): the max-path-length drain tail is paid once per
+    # launch, so fewer launches = fewer tails.
+    spd = int(os.environ.get("BENCH_SPD", "64"))
     scheme = _inline_walled_scheme(W, H, assured=5)
     scheme.render_info.width, scheme.render_info.height = W, H
     r = Renderer(scheme, samples_per_dispatch=spd)
