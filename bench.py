@@ -33,10 +33,12 @@ def main():
     from __graft_entry__ import _inline_walled_scheme
     from raytrace_tpu.render.renderer import Renderer
 
-    # 64 samples/lane per launch beats 32 at steady state (328.8 vs
-    # 313.7 Mpaths/s): the max-path-length drain tail is paid once per
-    # launch, so fewer launches = fewer tails.
-    spd = int(os.environ.get("BENCH_SPD", "64"))
+    # samples/lane per launch: the max-path-length drain tail and the
+    # dispatch round-trip are paid once per launch, so fewer launches
+    # win — 313.7 / 328.8 / 339.6 / 347.2 / 352.2 / 356.2 Mpaths/s at
+    # spd 32 / 64 / 128 / 256 / 512 / 1024 (flat beyond; one ~2.3 s
+    # launch per 1024-spp chunk stays far under the ~60 s watchdog).
+    spd = int(os.environ.get("BENCH_SPD", "1024"))
     scheme = _inline_walled_scheme(W, H, assured=5)
     scheme.render_info.width, scheme.render_info.height = W, H
     r = Renderer(scheme, samples_per_dispatch=spd)
