@@ -11,6 +11,7 @@ spp batching (`render_batch`) keeps the reference's scheme-file meaning
 """
 from __future__ import annotations
 
+import os
 import time
 from functools import partial
 from typing import Any, Callable, Optional
@@ -364,7 +365,11 @@ class Renderer:
             # (max-path-length iterations at collapsing occupancy) is
             # paid once per dispatch, so more spp per dispatch is the
             # occupancy lever.
-            b = min(b, 16 if self.use_wavefront else 2)
+            # cap overridable for faster boxes / bigger watchdog budgets
+            cap = int(os.environ.get(
+                "RTPU_MAX_DISPATCH_SPP", "32" if self.use_wavefront else "2"
+            ))
+            b = min(b, cap)
 
         bar = None
         if progress:

@@ -30,7 +30,10 @@ def run(scheme_path, spp, wavefront: bool):
     r.render(samples=1, batch=1, progress=False)  # compile + warmup
     t_compile = time.time() - t0
     t0 = time.time()
-    img = r.render(samples=spp, batch=2, progress=False)
+    # batch up to the renderer's per-dispatch cap (watchdog-aware);
+    # the wavefront drain tail is paid once per dispatch, so bigger
+    # batches measure (and deliver) better occupancy
+    img = r.render(samples=spp, batch=spp, progress=False)
     dt = time.time() - t0
     print(
         f"{label}: {dt:.2f} s for {spp} spp = {dt / spp:.3f} s/spp, "
