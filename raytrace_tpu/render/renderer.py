@@ -367,7 +367,7 @@ class Renderer:
             # occupancy lever.
             # cap overridable for faster boxes / bigger watchdog budgets
             cap = int(os.environ.get(
-                "RTPU_MAX_DISPATCH_SPP", "32" if self.use_wavefront else "2"
+                "RTPU_MAX_DISPATCH_SPP", "64" if self.use_wavefront else "2"
             ))
             b = min(b, cap)
 
