@@ -35,10 +35,11 @@ def main():
 
     # samples/lane per launch: the max-path-length drain tail and the
     # dispatch round-trip are paid once per launch, so fewer launches
-    # win — 313.7 / 328.8 / 339.6 / 347.2 / 352.2 / 356.2 Mpaths/s at
-    # spd 32 / 64 / 128 / 256 / 512 / 1024 (flat beyond; one ~2.3 s
-    # launch per 1024-spp chunk stays far under the ~60 s watchdog).
-    spd = int(os.environ.get("BENCH_SPD", "1024"))
+    # win — 313.7 / 328.8 / 339.6 / 347.2 / 352.2 / 356.2 / 359.2 /
+    # 360.2 Mpaths/s at spd 32 / 64 / ... / 2048 / 6144. The default
+    # is ONE ~12 s launch for the whole run (far under the ~60 s
+    # watchdog; in-kernel sample regeneration keeps lanes full).
+    spd = int(os.environ.get("BENCH_SPD", "6144"))
     scheme = _inline_walled_scheme(W, H, assured=5)
     scheme.render_info.width, scheme.render_info.height = W, H
     r = Renderer(scheme, samples_per_dispatch=spd)
