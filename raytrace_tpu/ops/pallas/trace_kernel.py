@@ -27,7 +27,7 @@ the same trace.wgsl/interaction.rs ones).
 from __future__ import annotations
 
 import functools
-from typing import Any
+from typing import Any, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -53,6 +53,150 @@ _FC = dict(v0x=0, v0y=1, v0z=2, e1x=3, e1y=4, e1z=5, e2x=6, e2y=7, e2z=8,
            nx=9, ny=10, nz=11, rr=12, gg=13, bb=14, em_r=15, em_g=16, em_b=17,
            has_em=18, kind=19, diffp=20, n_out=21, n_in=22)
 _FCOLS = 23
+
+
+class SceneHints(NamedTuple):
+    """Scene-constant facts that let the unrolled kernel skip select
+    chains statically. The bounce loop is unrolled over primitives in
+    Python, so any per-primitive fact known at pack time deletes VPU
+    ops at trace time (the kernel is VPU-roofline-bound; every select
+    saved is throughput). Material layout is stable across animation
+    frames (only geometry animates, builder/inner.rs:128-211), so
+    hints stay valid for a scheme's whole run.
+
+    *_fd = "first dirty" index per attribute group: prims before it
+    hold the group's default value (tables are sorted attribute-poor
+    first by pack_scene_tables), so their selects are identity and are
+    skipped. uni_diffp / uni_n: when every DiffSpec (resp. Dielectric)
+    primitive in the scene shares one diffp (resp. (n_out, n_in)), the
+    value is a compile-time constant and the whole select chain drops
+    (the value is only ever consumed on lanes whose hit HAS that
+    material kind). any_em / any_refr / any_ds gate whole shading
+    blocks for scenes without that material."""
+
+    sph_fd: Tuple[int, int, int, int]  # (rgb, em, kind, center)
+    ft_fd: Tuple[int, int, int, int]  # (rgb, em, kind, norm)
+    sph_fd_diffp: int
+    sph_fd_n: int
+    ft_fd_diffp: int
+    ft_fd_n: int
+    uni_diffp: Optional[float]
+    uni_n: Optional[Tuple[float, float]]
+    any_em: bool
+    any_refr: bool
+    any_ds: bool
+
+
+# no specialization: every chain dirty from prim 0, nothing uniform
+_PERMISSIVE = SceneHints(
+    sph_fd=(0, 0, 0, 0), ft_fd=(0, 0, 0, 0),
+    sph_fd_diffp=0, sph_fd_n=0, ft_fd_diffp=0, ft_fd_n=0,
+    uni_diffp=None, uni_n=None, any_em=True, any_refr=True, any_ds=True,
+)
+
+_NEVER = 1 << 30  # first-dirty sentinel: chain never dirty
+
+
+def _first_dirty(dirty: np.ndarray) -> int:
+    nz = np.nonzero(dirty)[0]
+    return int(nz[0]) if nz.size else _NEVER
+
+
+def _sph_dirty(sph: np.ndarray, n: int):
+    s = sph[:n]
+    return dict(
+        rgb=(s[:, 4:7] != 0.0).any(1),
+        em=(s[:, 7:11] != 0.0).any(1),
+        kind=s[:, 11] != 0.0,
+        c=(s[:, 0:3] != 0.0).any(1),
+        diffp=s[:, 12] != 0.0,
+        n=(s[:, 13] != 1.0) | (s[:, 14] != 1.0),
+    )
+
+
+def _ft_dirty(ft: np.ndarray, n: int):
+    f = ft[:n]
+    return dict(
+        rgb=(f[:, 12:15] != 0.0).any(1),
+        em=(f[:, 15:19] != 0.0).any(1),
+        kind=f[:, 19] != 0.0,
+        norm=(f[:, 9:12] != 0.0).any(1),
+        diffp=f[:, 20] != 0.0,
+        n=(f[:, 21] != 1.0) | (f[:, 22] != 1.0),
+    )
+
+
+def scene_static_hints(sph: np.ndarray, ft: np.ndarray, n_sph: int, n_ft: int) -> SceneHints:
+    """Derive SceneHints from packed (already sorted) tables."""
+    sd = _sph_dirty(np.asarray(sph), n_sph)
+    fd = _ft_dirty(np.asarray(ft), n_ft)
+
+    def kinds_of(table, n, kcol):
+        return np.asarray(table)[:n, kcol]
+
+    sk = kinds_of(sph, n_sph, 11)
+    fk = kinds_of(ft, n_ft, 19)
+    any_ds = bool((sk == 2.0).any() or (fk == 2.0).any())
+    any_refr = bool((sk == 3.0).any() or (fk == 3.0).any())
+    any_em = bool(sd["em"].any() or fd["em"].any())
+
+    # uniform diffp over every DiffSpec prim (consumed only when the
+    # hit lane's mkind == 2)
+    dvals = np.concatenate([
+        np.asarray(sph)[:n_sph, 12][sk == 2.0],
+        np.asarray(ft)[:n_ft, 20][fk == 2.0],
+    ])
+    uni_diffp: Optional[float] = 0.0 if dvals.size == 0 else (
+        float(dvals[0]) if bool((dvals == dvals[0]).all()) else None
+    )
+    # uniform (n_out, n_in) over every Dielectric prim
+    nvals = np.concatenate([
+        np.asarray(sph)[:n_sph, 13:15][sk == 3.0],
+        np.asarray(ft)[:n_ft, 21:23][fk == 3.0],
+    ])
+    uni_n: Optional[Tuple[float, float]] = (1.0, 1.0) if nvals.shape[0] == 0 else (
+        (float(nvals[0, 0]), float(nvals[0, 1]))
+        if bool((nvals == nvals[0]).all()) else None
+    )
+    def ft_first(group):
+        # the ft loop runs AFTER the sphere loop on the SAME running
+        # variables: once any sphere dirtied a group, every ft prim
+        # must select (reset lanes whose best hit was that sphere)
+        return 0 if bool(sd[group].any()) else _first_dirty(fd[group])
+
+    return SceneHints(
+        sph_fd=(
+            _first_dirty(sd["rgb"]), _first_dirty(sd["em"]),
+            _first_dirty(sd["kind"]), _first_dirty(sd["c"]),
+        ),
+        ft_fd=(
+            ft_first("rgb"), ft_first("em"),
+            ft_first("kind"), _first_dirty(fd["norm"]),
+        ),
+        sph_fd_diffp=_first_dirty(sd["diffp"]),
+        sph_fd_n=_first_dirty(sd["n"]),
+        ft_fd_diffp=ft_first("diffp"),
+        ft_fd_n=ft_first("n"),
+        uni_diffp=uni_diffp,
+        uni_n=uni_n,
+        any_em=any_em,
+        any_refr=any_refr,
+        any_ds=any_ds,
+    )
+
+
+def _richness_order(dirty: dict, n: int) -> np.ndarray:
+    """Sort prims attribute-poor first so first-dirty indices sit as
+    late as possible. Weight = selects the attribute group costs.
+    Order among equal scores is preserved; prim order has no semantic
+    meaning beyond exact-t tie-breaks (measure zero)."""
+    score = (
+        4 * dirty["em"].astype(int)
+        + 1 * dirty["kind"].astype(int)
+        + 1 * dirty["diffp"].astype(int)
+        + 2 * dirty["n"].astype(int)
+    )
+    return np.argsort(score[:n], kind="stable")
 
 
 def _jenkins(x):
@@ -87,6 +231,7 @@ def _kernel(
     mwr_ref, mwg_ref, mwb_ref,
     *, n_sph: int, n_ft: int, has_lens: bool, assured: int,
     max_bounces: int, samples_per_lane: int = 1,
+    hints: SceneHints = _PERMISSIVE,
 ):
     xs = xs_ref[...].astype(jnp.float32)
     ys = ys_ref[...].astype(jnp.float32)
@@ -101,17 +246,22 @@ def _kernel(
     x_cf, y_cf, x_off, y_off, lens_r = c(12), c(13), c(14), c(15), c(16)
     max_thres = c(17)
     pix = xs_ref[...].astype(_U32) ^ (ys_ref[...].astype(_U32) << _U32(16))
+    # loop-invariant raygen terms, hoisted out of start_sample (which
+    # runs EVERY bounce for in-kernel sample regeneration): the pixel
+    # hash and the pre-jitter ray direction depend only on the lane
+    hpix = _jenkins(pix)
+    s_x = x_cf * (xs - x_off)
+    s_y = y_cf * (ys - y_off)
+    bdx = dx_c + s_x * rx + s_y * ux
+    bdy = dy_c + s_x * ry + s_y * uy
+    bdz = dz_c + s_x * rz + s_y * uz
 
     def start_sample(samp_u32):
         """rng init (ops/rng.py init_state) + camera raygen
         (ray/generate.rs:13-66) for this lane's sample id."""
-        seed = _jenkins(pix) ^ _jenkins(samp_u32 ^ _U32(0x9E3779B9))
+        seed = hpix ^ _jenkins(samp_u32 ^ _U32(0x9E3779B9))
         state = _jenkins(seed)
-        s_x = x_cf * (xs - x_off)
-        s_y = y_cf * (ys - y_off)
-        dx = dx_c + s_x * rx + s_y * ux
-        dy = dy_c + s_x * ry + s_y * uy
-        dz = dz_c + s_x * rz + s_y * uz
+        dx, dy, dz = bdx, bdy, bdz
         if has_lens:
             state, u = _next_f32(state)
             state, v = _next_f32(state)
@@ -153,30 +303,46 @@ def _kernel(
         # and its per-primitive mask recompute, and the per-sphere
         # normalize: the sphere normal is computed once post-loop from
         # the selected center. `near < far` <=> sqrt(disc) > 0 <=>
-        # disc > 0, so the redundant compare is dropped.
+        # disc > 0, so the redundant compare is dropped. SceneHints
+        # statically delete selects whose value cannot differ from the
+        # running default (see SceneHints docstring).
+        track_kind = n_sph > 0 and n_ft > 0
+        sel_diffp = hints.uni_diffp is None
+        sel_n = hints.uni_n is None
         t_best = jnp.full_like(dx, INF)
         kind = zero  # 0 none / 1 sphere / 2 freetri (f32 compares)
         scx = zero; scy = zero; scz = zero  # best-sphere center
         nxv = zero; nyv = zero; nzv = zero  # free-tri stored normal
         rgb_r = zero; rgb_g = zero; rgb_b = zero
         em_r = zero; em_g = zero; em_b = zero
-        has_em = zero; mkind = zero; diffp = zero
-        n_out = one; n_in = one
+        has_em = zero; mkind = zero
+        diffp = jnp.float32(hints.uni_diffp) if not sel_diffp else zero
+        if sel_n:
+            n_out = one
+            n_in = one
+        else:
+            n_out = jnp.float32(hints.uni_n[0])
+            n_in = jnp.float32(hints.uni_n[1])
 
-        def sel_common(better, g):
+        def sel_common(better, g, i, fd, fd_diffp, fd_n):
             nonlocal rgb_r, rgb_g, rgb_b, em_r, em_g, em_b
             nonlocal has_em, mkind, diffp, n_out, n_in
-            rgb_r = jnp.where(better, g("rr"), rgb_r)
-            rgb_g = jnp.where(better, g("gg"), rgb_g)
-            rgb_b = jnp.where(better, g("bb"), rgb_b)
-            em_r = jnp.where(better, g("em_r"), em_r)
-            em_g = jnp.where(better, g("em_g"), em_g)
-            em_b = jnp.where(better, g("em_b"), em_b)
-            has_em = jnp.where(better, g("has_em"), has_em)
-            mkind = jnp.where(better, g("kind"), mkind)
-            diffp = jnp.where(better, g("diffp"), diffp)
-            n_out = jnp.where(better, g("n_out"), n_out)
-            n_in = jnp.where(better, g("n_in"), n_in)
+            if i >= fd[0]:
+                rgb_r = jnp.where(better, g("rr"), rgb_r)
+                rgb_g = jnp.where(better, g("gg"), rgb_g)
+                rgb_b = jnp.where(better, g("bb"), rgb_b)
+            if i >= fd[1]:
+                em_r = jnp.where(better, g("em_r"), em_r)
+                em_g = jnp.where(better, g("em_g"), em_g)
+                em_b = jnp.where(better, g("em_b"), em_b)
+                has_em = jnp.where(better, g("has_em"), has_em)
+            if i >= fd[2]:
+                mkind = jnp.where(better, g("kind"), mkind)
+            if sel_diffp and i >= fd_diffp:
+                diffp = jnp.where(better, g("diffp"), diffp)
+            if sel_n and i >= fd_n:
+                n_out = jnp.where(better, g("n_out"), n_out)
+                n_in = jnp.where(better, g("n_in"), n_in)
 
         for si in range(n_sph):
             s = lambda k: sph_ref[si, _SC[k]]
@@ -190,11 +356,13 @@ def _kernel(
             t_i = jnp.where(pos & (near > 0.0), near, INF)
             better = t_i < t_best
             t_best = jnp.where(better, t_i, t_best)
-            kind = jnp.where(better, 1.0, kind)
-            scx = jnp.where(better, s("cx"), scx)
-            scy = jnp.where(better, s("cy"), scy)
-            scz = jnp.where(better, s("cz"), scz)
-            sel_common(better, s)
+            if track_kind:
+                kind = jnp.where(better, 1.0, kind)
+            if si >= hints.sph_fd[3]:
+                scx = jnp.where(better, s("cx"), scx)
+                scy = jnp.where(better, s("cy"), scy)
+                scz = jnp.where(better, s("cz"), scz)
+            sel_common(better, s, si, hints.sph_fd, hints.sph_fd_diffp, hints.sph_fd_n)
         for fi in range(n_ft):
             f = lambda k: ft_ref[fi, _FC[k]]
             e1x, e1y, e1z = f("e1x"), f("e1y"), f("e1z")
@@ -216,13 +384,15 @@ def _kernel(
             t_i = jnp.where(ok, t_i, INF)
             better = t_i < t_best
             t_best = jnp.where(better, t_i, t_best)
-            kind = jnp.where(better, 2.0, kind)
-            nxv = jnp.where(better, f("nx"), nxv)
-            nyv = jnp.where(better, f("ny"), nyv)
-            nzv = jnp.where(better, f("nz"), nzv)
-            sel_common(better, f)
+            if track_kind:
+                kind = jnp.where(better, 2.0, kind)
+            if fi >= hints.ft_fd[3]:
+                nxv = jnp.where(better, f("nx"), nxv)
+                nyv = jnp.where(better, f("ny"), nyv)
+                nzv = jnp.where(better, f("nz"), nzv)
+            sel_common(better, f, fi, hints.ft_fd, hints.ft_fd_diffp, hints.ft_fd_n)
 
-        hit = kind > 0.5
+        hit = kind > 0.5 if track_kind else t_best < INF
         miss = ~hit
 
         # ---- per-bounce draws (same budget/order as the integrator's
@@ -239,10 +409,15 @@ def _kernel(
         pz = oz + dz * t_safe
         if n_sph:
             snx, sny, snz = _norm3(px - scx, py - scy, pz - scz)
-            is_sph = kind == 1.0
-            nxv = jnp.where(is_sph, snx, nxv)
-            nyv = jnp.where(is_sph, sny, nyv)
-            nzv = jnp.where(is_sph, snz, nzv)
+            if track_kind:
+                is_sph = kind == 1.0
+                nxv = jnp.where(is_sph, snx, nxv)
+                nyv = jnp.where(is_sph, sny, nyv)
+                nzv = jnp.where(is_sph, snz, nzv)
+            else:
+                # sphere-only scene: the normal is only consumed on
+                # surviving (hit) lanes, so assign unconditionally
+                nxv, nyv, nzv = snx, sny, snz
 
         posx = px + nxv * EPS
         posy = py + nyv * EPS
@@ -265,60 +440,73 @@ def _kernel(
         ddx, ddy, ddz = _norm3(xdx * ca + ydx * sa + nxv * zz,
                                xdy * ca + ydy * sa + nyv * zz,
                                xdz * ca + ydz * sa + nzv * zz)
-        # dielectric (gpu mode)
-        into = dn < 0.0
-        n1 = jnp.where(into, n_out, n_in)
-        n2 = jnp.where(into, n_in, n_out)
-        c1 = jnp.abs(dn)
-        nrx = jnp.where(into, nxv, -nxv)
-        nry = jnp.where(into, nyv, -nyv)
-        nrz = jnp.where(into, nzv, -nzv)
-        n_over = n1 / n2
-        c22 = 1.0 - n_over * n_over * (1.0 - c1 * c1)
-        tir = c22 < 0.0
-        dnr = dx * nrx + dy * nry + dz * nrz
-        refx, refy, refz = _norm3(dx - nrx * (2.0 * dnr), dy - nry * (2.0 * dnr), dz - nrz * (2.0 * dnr))
-        sq22 = jnp.sqrt(jnp.where(c22 > 0.0, c22, 1.0))
-        k_t = n_over * c1 - sq22
-        tx = jnp.where(tir, dx, dx * n_over + nrx * k_t)
-        ty = jnp.where(tir, dy, dy * n_over + nry * k_t)
-        tz = jnp.where(tir, dz, dz * n_over + nrz * k_t)
-        r0 = ((n1 - n2) / (n1 + n2)) ** 2
-        cos_term = 1.0 - (tx * nxv + ty * nyv + tz * nzv)
-        re = r0 + (1.0 + r0) * cos_term**5
-        do_refl = tir | (u3 < re)
-        tnx, tny, tnz = _norm3(tx, ty, tz)
-        rfx = jnp.where(do_refl, refx, tnx)
-        rfy = jnp.where(do_refl, refy, tny)
-        rfz = jnp.where(do_refl, refz, tnz)
-        refr_w = jnp.where(do_refl, 1.0, 1.0 - re)
+        if hints.any_ds:
+            ds_diff = u0 < diffp
+            is_diff = (mkind == 1.0) | ((mkind == 2.0) & ds_diff)
+        else:
+            is_diff = mkind == 1.0
 
-        ds_diff = u0 < diffp
-        is_spec = mkind == 0.0
-        is_diff = (mkind == 1.0) | ((mkind == 2.0) & ds_diff)
-        is_refr = mkind == 3.0
-        ndx = jnp.where(is_refr, rfx, jnp.where(is_diff, ddx, sdx))
-        ndy = jnp.where(is_refr, rfy, jnp.where(is_diff, ddy, sdy))
-        ndz = jnp.where(is_refr, rfz, jnp.where(is_diff, ddz, sdz))
-        weight = jnp.where(is_refr, refr_w, 1.0)
+        if hints.any_refr:
+            # dielectric (gpu mode)
+            into = dn < 0.0
+            n1 = jnp.where(into, n_out, n_in)
+            n2 = jnp.where(into, n_in, n_out)
+            c1 = jnp.abs(dn)
+            nrx = jnp.where(into, nxv, -nxv)
+            nry = jnp.where(into, nyv, -nyv)
+            nrz = jnp.where(into, nzv, -nzv)
+            n_over = n1 / n2
+            c22 = 1.0 - n_over * n_over * (1.0 - c1 * c1)
+            tir = c22 < 0.0
+            dnr = dx * nrx + dy * nry + dz * nrz
+            refx, refy, refz = _norm3(dx - nrx * (2.0 * dnr), dy - nry * (2.0 * dnr), dz - nrz * (2.0 * dnr))
+            sq22 = jnp.sqrt(jnp.where(c22 > 0.0, c22, 1.0))
+            k_t = n_over * c1 - sq22
+            tx = jnp.where(tir, dx, dx * n_over + nrx * k_t)
+            ty = jnp.where(tir, dy, dy * n_over + nry * k_t)
+            tz = jnp.where(tir, dz, dz * n_over + nrz * k_t)
+            r0 = ((n1 - n2) / (n1 + n2)) ** 2
+            cos_term = 1.0 - (tx * nxv + ty * nyv + tz * nzv)
+            re = r0 + (1.0 + r0) * cos_term**5
+            do_refl = tir | (u3 < re)
+            tnx, tny, tnz = _norm3(tx, ty, tz)
+            rfx = jnp.where(do_refl, refx, tnx)
+            rfy = jnp.where(do_refl, refy, tny)
+            rfz = jnp.where(do_refl, refz, tnz)
+            refr_w = jnp.where(do_refl, 1.0, 1.0 - re)
+
+            is_refr = mkind == 3.0
+            ndx = jnp.where(is_refr, rfx, jnp.where(is_diff, ddx, sdx))
+            ndy = jnp.where(is_refr, rfy, jnp.where(is_diff, ddy, sdy))
+            ndz = jnp.where(is_refr, rfz, jnp.where(is_diff, ddz, sdz))
+            weight = jnp.where(is_refr, refr_w, 1.0)
+        else:
+            ndx = jnp.where(is_diff, ddx, sdx)
+            ndy = jnp.where(is_diff, ddy, sdy)
+            ndz = jnp.where(is_diff, ddz, sdz)
+            weight = None  # no dielectric -> intensity stays 1
 
         # ---- gpu-mode radiance update (trace.wgsl:290-315) ----
+        # no dielectric in scene -> inten is identically 1; drop the
+        # three per-channel products at each radiance add
+        mul_i = (lambda a: a) if weight is None else (lambda a: a * inten)
         add_miss = active & miss
         mdx = jnp.where(add_miss, dx, mdx)
         mdy = jnp.where(add_miss, dy, mdy)
         mdz = jnp.where(add_miss, dz, mdz)
         # miss weight per channel = throughput * intensity at miss time
-        mwr = jnp.where(add_miss, cir * inten, mwr)
-        mwg = jnp.where(add_miss, cig * inten, mwg)
-        mwb = jnp.where(add_miss, cib * inten, mwb)
+        mwr = jnp.where(add_miss, mul_i(cir), mwr)
+        mwg = jnp.where(add_miss, mul_i(cig), mwg)
+        mwb = jnp.where(add_miss, mul_i(cib), mwb)
 
-        add_em = active & hit & (has_em > 0.5)
-        lr = lr + jnp.where(add_em, em_r * cir * inten, 0.0)
-        lg = lg + jnp.where(add_em, em_g * cig * inten, 0.0)
-        lb = lb + jnp.where(add_em, em_b * cib * inten, 0.0)
-        cir = jnp.where(add_em, cir * rgb_r, cir)
-        cig = jnp.where(add_em, cig * rgb_g, cig)
-        cib = jnp.where(add_em, cib * rgb_b, cib)
+        if hints.any_em:
+            add_em = active & hit & (has_em > 0.5)
+            lr = lr + jnp.where(add_em, em_r * mul_i(cir), 0.0)
+            lg = lg + jnp.where(add_em, em_g * mul_i(cig), 0.0)
+            lb = lb + jnp.where(add_em, em_b * mul_i(cib), 0.0)
+            cir = jnp.where(add_em, cir * rgb_r, cir)
+            cig = jnp.where(add_em, cig * rgb_g, cig)
+            cib = jnp.where(add_em, cib * rgb_b, cib)
 
         hm = active & hit
         cir = jnp.where(hm, cir * rgb_r, cir)
@@ -329,15 +517,16 @@ def _kernel(
         rr_kill = rr_due & (u7 > max_thres)
         term = hm & rr_kill
         inv_thres = 1.0 / max_thres
-        lr = lr + jnp.where(term, cir * inv_thres * inten, 0.0)
-        lg = lg + jnp.where(term, cig * inv_thres * inten, 0.0)
-        lb = lb + jnp.where(term, cib * inv_thres * inten, 0.0)
+        lr = lr + jnp.where(term, mul_i(cir * inv_thres), 0.0)
+        lg = lg + jnp.where(term, mul_i(cig * inv_thres), 0.0)
+        lb = lb + jnp.where(term, mul_i(cib * inv_thres), 0.0)
         cir = jnp.where(term, cir * inv_thres, cir)
         cig = jnp.where(term, cig * inv_thres, cig)
         cib = jnp.where(term, cib * inv_thres, cib)
 
         survive = hm & ~rr_kill
-        inten = jnp.where(survive, inten * weight, inten)
+        if weight is not None:
+            inten = jnp.where(survive, inten * weight, inten)
 
         ox = jnp.where(survive, posx, ox)
         oy = jnp.where(survive, posy, oy)
@@ -403,7 +592,11 @@ def _kernel(
 
 
 def pack_scene_tables(scene):
-    """SceneArrays -> (sph_table (S,15), ft_table (F,23)) numpy f32."""
+    """SceneArrays -> (sph_table (S,15), ft_table (F,23)) numpy f32.
+
+    Rows are sorted attribute-poor first (see _richness_order) so
+    scene_static_hints' first-dirty indices land as late as possible —
+    primitive order only affects exact-t tie-breaks."""
     S = int(scene.n_spheres)
     F = int(scene.n_free_tris)
     sph = np.zeros((max(S, 1), 15), np.float32)
@@ -430,6 +623,10 @@ def pack_scene_tables(scene):
         ft[:F, 20] = np.asarray(scene.ft_diffp)[:F]
         ft[:F, 21] = np.asarray(scene.ft_n_out)[:F]
         ft[:F, 22] = np.asarray(scene.ft_n_in)[:F]
+    if S:
+        sph[:S] = sph[_richness_order(_sph_dirty(sph, S), S)]
+    if F:
+        ft[:F] = ft[_richness_order(_ft_dirty(ft, F), F)]
     return sph, ft
 
 
@@ -448,13 +645,14 @@ def supports(scene, params) -> bool:
     jax.jit,
     static_argnames=(
         "n_sph", "n_ft", "has_lens", "assured", "max_bounces",
-        "samples_per_lane", "interpret",
+        "samples_per_lane", "interpret", "hints",
     ),
 )
 def trace_tiles(
     xs, ys, samp, sph_table, ft_table, cam_vec,
     n_sph: int, n_ft: int, has_lens: bool, assured: int,
     max_bounces: int, samples_per_lane: int = 1, interpret: bool = False,
+    hints: SceneHints = _PERMISSIVE,
 ):
     """xs/ys/samp: (R, 128) i32 lane grids (R multiple of SUBLANES).
     Returns (L (R,128,3 packed as 3 arrays), miss_dir 3x, miss_w).
@@ -471,6 +669,7 @@ def trace_tiles(
         _kernel,
         n_sph=n_sph, n_ft=n_ft, has_lens=has_lens, assured=assured,
         max_bounces=max_bounces, samples_per_lane=samples_per_lane,
+        hints=hints,
     )
     return pl.pallas_call(
         kernel,

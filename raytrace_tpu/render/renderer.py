@@ -124,7 +124,7 @@ def sample_batch(
 def sample_batch_fused(
     tables, cam_vec, scene, params, width, height, xs2d, ys2d, rep2d,
     sample_base, n_samples, samples_per_dispatch: int = 1,
-    samples_per_lane: int = 1, has_lens: bool = False,
+    samples_per_lane: int = 1, has_lens: bool = False, hints=None,
 ):
     """Fused-kernel equivalent of sample_batch for supported scenes
     (ops/pallas/trace_kernel.py): per sample round, one pallas_call
@@ -156,6 +156,7 @@ def sample_batch_fused(
             assured=params.assured_depth,
             max_bounces=params.max_bounces,
             samples_per_lane=spl,
+            hints=hints if hints is not None else tk._PERMISSIVE,
         )
         if scene.has_cubemap:
             from .integrator import sample_cubemap
@@ -197,6 +198,7 @@ _jit_fused_step = jax.jit(
     sample_batch_fused,
     static_argnames=(
         "width", "height", "samples_per_dispatch", "samples_per_lane", "has_lens",
+        "hints",
     ),
 )
 _jit_wavefront_step = jax.jit(
@@ -307,6 +309,9 @@ class Renderer:
             self._fpadded_npix = padded_npix
             sph_t, ft_t = tk.pack_scene_tables(self.scene)
             self._tables = (jnp.asarray(sph_t), jnp.asarray(ft_t))
+            self._hints = tk.scene_static_hints(
+                sph_t, ft_t, self.scene.n_spheres, self.scene.n_free_tris
+            )
             self._cam_vec = jnp.asarray(
                 tk.make_cam_vec(self.camera, float(scheme.render_info.rad_info.russ_roull_info.max_thres))
             )
@@ -316,6 +321,7 @@ class Renderer:
                 samples_per_dispatch=self.spd,
                 samples_per_lane=self._fspl,
                 has_lens=self.camera.lens_r is not None,
+                hints=self._hints,
             )
 
         self._step = partial(

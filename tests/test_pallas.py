@@ -144,3 +144,112 @@ def test_fused_samples_per_lane(setup):
             )
         )
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_hints_specialization_matches_permissive(setup):
+    """SceneHints must be a pure op-count optimization: the specialized
+    kernel's radiance equals the unspecialized kernel's bitwise (the
+    select chains it deletes are identities; walled exercises emissive,
+    DiffSpec, and uniform-dielectric paths)."""
+    _, scene, cam, cam_arrays, params = setup
+    n_pix = W * H
+    flat = np.arange(n_pix, dtype=np.int32)
+    rows = n_pix // tk.LANES
+    xs2d = jnp.asarray(flat % W).reshape(rows, tk.LANES)
+    ys2d = jnp.asarray(flat // W).reshape(rows, tk.LANES)
+    rep2d = jnp.zeros((rows, tk.LANES), jnp.int32)
+
+    sph_t, ft_t = tk.pack_scene_tables(scene)
+    hints = tk.scene_static_hints(sph_t, ft_t, scene.n_spheres, scene.n_free_tris)
+    # walled: one DiffSpec value, one dielectric (n_out, n_in), emissives
+    assert hints.uni_diffp is not None
+    assert hints.uni_n not in (None, (1.0, 1.0))
+    assert hints.any_em and hints.any_refr and hints.any_ds
+    assert hints.sph_fd[1] > 0  # emissive prims sorted late
+
+    tables = (jnp.asarray(sph_t), jnp.asarray(ft_t))
+    cam_vec = jnp.asarray(tk.make_cam_vec(cam))
+    with pltpu.force_tpu_interpret_mode():
+        base = np.asarray(
+            sample_batch_fused(
+                tables, cam_vec, scene, params, W, H,
+                xs2d, ys2d, rep2d, jnp.int32(0), jnp.int32(2),
+                samples_per_dispatch=1,
+            )
+        )
+        spec = np.asarray(
+            sample_batch_fused(
+                tables, cam_vec, scene, params, W, H,
+                xs2d, ys2d, rep2d, jnp.int32(0), jnp.int32(2),
+                samples_per_dispatch=1, hints=hints,
+            )
+        )
+    np.testing.assert_array_equal(spec, base)
+
+
+def test_hints_mixed_sphere_freetri():
+    """Hint machinery on a scene with BOTH kinds (track_kind path),
+    non-uniform diffp and dielectric constants (select chains stay
+    live), and emissive triangles: specialized == permissive bitwise,
+    and both match the XLA integrator."""
+    from raytrace_tpu.models import config as cfg
+
+    def sphere(c, r, rgb, mat):
+        return cfg.Tagged("Sphere", {"c": c, "r": r, "coloring": cfg.Tagged("Solid", rgb), "mat": mat})
+
+    def tri(verts, norm, rgb, mat):
+        return cfg.Tagged("FreeTriangle", {"verts": verts, "norm": norm, "rgb": rgb, "mat": mat})
+
+    members = [
+        # two dielectrics with DIFFERENT n -> uni_n is None
+        sphere([0.0, 0.0, -6.0], 1.0, [0.9, 0.9, 0.9],
+               {"divert_ray": cfg.Tagged("Dielectric", {"n_out": 1.0, "n_in": 1.5})}),
+        sphere([2.5, 0.0, -7.0], 1.0, [0.9, 0.6, 0.6],
+               {"divert_ray": cfg.Tagged("Dielectric", {"n_out": 1.0, "n_in": 1.2})}),
+        sphere([0.0, 6.0, -8.0], 2.0, [0, 0, 0], {"divert_ray": "Diff", "emissive": [8, 8, 8]}),
+        # two DiffSpecs with DIFFERENT diffp -> uni_diffp is None
+        tri([[-4, -2, -9], [4, -2, -9], [0, -2, -1]], [0, 1, 0], [0.7, 0.7, 0.3],
+            {"divert_ray": cfg.Tagged("DiffSpec", {"diffp": 0.4})}),
+        tri([[-4, 2, -9], [4, 2, -9], [0, 3, -4]], [0, -1, 0], [0.3, 0.7, 0.7],
+            {"divert_ray": cfg.Tagged("DiffSpec", {"diffp": 0.8})}),
+        # emissive triangle (gpu semantics honor it, trace.wgsl:489-490)
+        tri([[-1, -1, -3], [1, -1, -3], [0, 1, -3]], [0, 0, 1], [1, 1, 1],
+            {"divert_ray": "Spec", "emissive": [2, 2, 2]}),
+    ]
+    raw_scheme = _inline_walled_scheme(64, 32, assured=2)
+    raw_scheme.scene_members = [cfg._parse_member(m) for m in members]
+    scene = build_scene(raw_scheme)
+    cam = build_camera(raw_scheme.cam, 64, 32)
+    params = IntegratorParams(assured_depth=2, max_bounces=8)
+    assert tk.supports(scene, params)
+
+    sph_t, ft_t = tk.pack_scene_tables(scene)
+    hints = tk.scene_static_hints(sph_t, ft_t, scene.n_spheres, scene.n_free_tris)
+    assert hints.uni_diffp is None and hints.uni_n is None
+    assert hints.any_em and hints.any_refr and hints.any_ds
+
+    n_pix = 64 * 32
+    flat = np.arange(n_pix, dtype=np.int32)
+    rows = n_pix // tk.LANES
+    xs2d = jnp.asarray(flat % 64).reshape(rows, tk.LANES)
+    ys2d = jnp.asarray(flat // 64).reshape(rows, tk.LANES)
+    rep2d = jnp.zeros((rows, tk.LANES), jnp.int32)
+    tables = (jnp.asarray(sph_t), jnp.asarray(ft_t))
+    cam_vec = jnp.asarray(tk.make_cam_vec(cam))
+
+    with pltpu.force_tpu_interpret_mode():
+        base = np.asarray(sample_batch_fused(
+            tables, cam_vec, scene, params, 64, 32,
+            xs2d, ys2d, rep2d, jnp.int32(0), jnp.int32(2), samples_per_dispatch=1))
+        spec = np.asarray(sample_batch_fused(
+            tables, cam_vec, scene, params, 64, 32,
+            xs2d, ys2d, rep2d, jnp.int32(0), jnp.int32(2), samples_per_dispatch=1,
+            hints=hints))
+    np.testing.assert_array_equal(spec, base)
+
+    cam_arrays = camera_to_arrays(cam)
+    ref = np.asarray(sample_batch(
+        scene, cam_arrays, params, 64, 32,
+        jnp.asarray(flat % 64), jnp.asarray(flat // 64), jnp.int32(0), jnp.int32(2)))
+    mismatch = np.abs(spec - ref) / (np.abs(ref) + 1e-3)
+    assert (mismatch > 1e-3).mean() < 0.01
