@@ -226,12 +226,12 @@ def _norm3(x, y, z, tiny=1e-30):
 
 def _kernel(
     # refs
-    xs_ref, ys_ref, samp_ref, sph_ref, ft_ref, cam_ref,
+    xs_ref, ys_ref, samp_ref, seed_ref, sph_ref, ft_ref, cam_ref,
     lx_ref, ly_ref, lz_ref, mdx_ref, mdy_ref, mdz_ref,
     mwr_ref, mwg_ref, mwb_ref,
     *, n_sph: int, n_ft: int, has_lens: bool, assured: int,
     max_bounces: int, samples_per_lane: int = 1,
-    hints: SceneHints = _PERMISSIVE,
+    hints: SceneHints = _PERMISSIVE, hw_rng: bool = False,
 ):
     xs = xs_ref[...].astype(jnp.float32)
     ys = ys_ref[...].astype(jnp.float32)
@@ -249,22 +249,42 @@ def _kernel(
     # loop-invariant raygen terms, hoisted out of start_sample (which
     # runs EVERY bounce for in-kernel sample regeneration): the pixel
     # hash and the pre-jitter ray direction depend only on the lane
-    hpix = _jenkins(pix)
     s_x = x_cf * (xs - x_off)
     s_y = y_cf * (ys - y_off)
     bdx = dx_c + s_x * rx + s_y * ux
     bdy = dy_c + s_x * ry + s_y * uy
     bdz = dz_c + s_x * rz + s_y * uz
 
+    if hw_rng:
+        # hardware PRNG (opt-in): the counter RNG costs ~2 emulated
+        # u32 multiplies per draw plus a 2x-jenkins reseed per sample
+        # regeneration — measurably the kernel's priciest ops. The
+        # per-core generator is seeded once per (launch, grid program);
+        # draws are NOT keyed by (pixel, sample), so bit-exact resume /
+        # integrator parity don't hold in this mode (statistical golden
+        # means do — tests/test_pallas.py::test_hw_rng_statistics).
+        pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0) * jnp.int32(-1640531527))
+
+        def nxt(state):
+            bits = pltpu.bitcast(pltpu.prng_random_bits(xs.shape), _U32)
+            b24 = (bits >> _U32(8)).astype(jnp.int32)
+            return state, b24.astype(jnp.float32) * jnp.float32(1.0 / 16777215.0)
+    else:
+        hpix = _jenkins(pix)
+        nxt = _next_f32
+
     def start_sample(samp_u32):
         """rng init (ops/rng.py init_state) + camera raygen
         (ray/generate.rs:13-66) for this lane's sample id."""
-        seed = hpix ^ _jenkins(samp_u32 ^ _U32(0x9E3779B9))
-        state = _jenkins(seed)
+        if hw_rng:
+            state = samp_u32  # carry placeholder; hw draws are stateless
+        else:
+            seed = hpix ^ _jenkins(samp_u32 ^ _U32(0x9E3779B9))
+            state = _jenkins(seed)
         dx, dy, dz = bdx, bdy, bdz
         if has_lens:
-            state, u = _next_f32(state)
-            state, v = _next_f32(state)
+            state, u = nxt(state)
+            state, v = nxt(state)
             r_ = jnp.sqrt(u)
             th = (2.0 * np.pi) * v
             lx = (r_ - 0.5) * 2.0 * lens_r * jnp.cos(th)
@@ -277,8 +297,8 @@ def _kernel(
         else:
             one_ = jnp.ones_like(xs)
             ox, oy, oz = one_ * ox_c, one_ * oy_c, one_ * oz_c
-        state, ju = _next_f32(state)
-        state, jv = _next_f32(state)
+        state, ju = nxt(state)
+        state, jv = nxt(state)
         dx = dx + rx * ((ju - 0.5) * x_cf) + ux * ((jv - 0.5) * y_cf)
         dy = dy + ry * ((ju - 0.5) * x_cf) + uy * ((jv - 0.5) * y_cf)
         dz = dz + rz * ((ju - 0.5) * x_cf) + uz * ((jv - 0.5) * y_cf)
@@ -397,11 +417,11 @@ def _kernel(
 
         # ---- per-bounce draws (same budget/order as the integrator's
         # meshless 5-draw path) --
-        state, u0 = _next_f32(state)
-        state, u1 = _next_f32(state)
-        state, u2 = _next_f32(state)
-        state, u3 = _next_f32(state)
-        state, u7 = _next_f32(state)
+        state, u0 = nxt(state)
+        state, u1 = nxt(state)
+        state, u2 = nxt(state)
+        state, u3 = nxt(state)
+        state, u7 = nxt(state)
 
         t_safe = jnp.where(hit, t_best, 0.0)
         px = ox + dx * t_safe
@@ -645,23 +665,29 @@ def supports(scene, params) -> bool:
     jax.jit,
     static_argnames=(
         "n_sph", "n_ft", "has_lens", "assured", "max_bounces",
-        "samples_per_lane", "interpret", "hints",
+        "samples_per_lane", "interpret", "hints", "hw_rng",
     ),
 )
 def trace_tiles(
     xs, ys, samp, sph_table, ft_table, cam_vec,
     n_sph: int, n_ft: int, has_lens: bool, assured: int,
     max_bounces: int, samples_per_lane: int = 1, interpret: bool = False,
-    hints: SceneHints = _PERMISSIVE,
+    hints: SceneHints = _PERMISSIVE, hw_rng: bool = False, seed=None,
 ):
     """xs/ys/samp: (R, 128) i32 lane grids (R multiple of SUBLANES).
     Returns (L (R,128,3 packed as 3 arrays), miss_dir 3x, miss_w).
     samples_per_lane > 1 accumulates that many consecutive sample ids
     (samp..samp+spl-1) per lane via in-kernel regeneration — only
-    valid for scenes without a cubemap (miss outputs are per-lane)."""
+    valid for scenes without a cubemap (miss outputs are per-lane).
+    hw_rng: draw uniforms from the TPU hardware PRNG (seeded from
+    `seed`, a (1,1) i32, per grid program) instead of the
+    counter-based PCG streams — faster, but not reproducible per
+    (pixel, sample); see the kernel comment."""
     rows = xs.shape[0]
     assert rows % SUBLANES == 0, rows
     grid = rows // SUBLANES
+    if seed is None:
+        seed = jnp.zeros((1, 1), jnp.int32)
     lane_spec = pl.BlockSpec((SUBLANES, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
     smem = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.SMEM)
     out_shape = [jax.ShapeDtypeStruct((rows, LANES), jnp.float32)] * 9
@@ -669,19 +695,19 @@ def trace_tiles(
         _kernel,
         n_sph=n_sph, n_ft=n_ft, has_lens=has_lens, assured=assured,
         max_bounces=max_bounces, samples_per_lane=samples_per_lane,
-        hints=hints,
+        hints=hints, hw_rng=hw_rng,
     )
     return pl.pallas_call(
         kernel,
         grid=(grid,),
         in_specs=[
-            lane_spec, lane_spec, lane_spec,
+            lane_spec, lane_spec, lane_spec, smem((1, 1)),
             smem(sph_table.shape), smem(ft_table.shape), smem(cam_vec.shape),
         ],
         out_specs=[lane_spec] * 9,
         out_shape=out_shape,
         interpret=interpret,
-    )(xs, ys, samp, sph_table, ft_table, cam_vec)
+    )(xs, ys, samp, seed, sph_table, ft_table, cam_vec)
 
 
 def make_cam_vec(cam, max_thres: float = 0.5) -> np.ndarray:

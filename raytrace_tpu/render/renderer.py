@@ -125,6 +125,7 @@ def sample_batch_fused(
     tables, cam_vec, scene, params, width, height, xs2d, ys2d, rep2d,
     sample_base, n_samples, samples_per_dispatch: int = 1,
     samples_per_lane: int = 1, has_lens: bool = False, hints=None,
+    hw_rng: bool = False,
 ):
     """Fused-kernel equivalent of sample_batch for supported scenes
     (ops/pallas/trace_kernel.py): per sample round, one pallas_call
@@ -157,6 +158,8 @@ def sample_batch_fused(
             max_bounces=params.max_bounces,
             samples_per_lane=spl,
             hints=hints if hints is not None else tk._PERMISSIVE,
+            hw_rng=hw_rng,
+            seed=(sample_base + s * spd).astype(jnp.int32).reshape(1, 1),
         )
         if scene.has_cubemap:
             from .integrator import sample_cubemap
@@ -198,7 +201,7 @@ _jit_fused_step = jax.jit(
     sample_batch_fused,
     static_argnames=(
         "width", "height", "samples_per_dispatch", "samples_per_lane", "has_lens",
-        "hints",
+        "hints", "hw_rng",
     ),
 )
 _jit_wavefront_step = jax.jit(
@@ -234,6 +237,7 @@ class Renderer:
         samples_per_dispatch: Optional[int] = None,
         use_fused: Optional[bool] = None,
         use_wavefront: Optional[bool] = None,
+        hw_rng: Optional[bool] = None,
     ):
         self.scheme = scheme
         info = scheme.render_info
@@ -315,6 +319,12 @@ class Renderer:
             self._cam_vec = jnp.asarray(
                 tk.make_cam_vec(self.camera, float(scheme.render_info.rad_info.russ_roull_info.max_thres))
             )
+            # hardware-PRNG draws (opt-in; env RTPU_HW_RNG=1): faster,
+            # but forfeits per-(pixel,sample) reproducibility — exact
+            # checkpoint resume stays bitwise only in counter-RNG mode
+            if hw_rng is None:
+                hw_rng = os.environ.get("RTPU_HW_RNG", "0") == "1"
+            self.hw_rng = bool(hw_rng)
             self._fstep = partial(
                 _jit_fused_step,
                 width=self.width, height=self.height,
@@ -322,6 +332,7 @@ class Renderer:
                 samples_per_lane=self._fspl,
                 has_lens=self.camera.lens_r is not None,
                 hints=self._hints,
+                hw_rng=self.hw_rng,
             )
 
         self._step = partial(

@@ -253,3 +253,44 @@ def test_hints_mixed_sphere_freetri():
         jnp.asarray(flat % 64), jnp.asarray(flat // 64), jnp.int32(0), jnp.int32(2)))
     mismatch = np.abs(spec - ref) / (np.abs(ref) + 1e-3)
     assert (mismatch > 1e-3).mean() < 0.01
+
+
+def test_hw_rng_statistics(setup):
+    """Hardware-PRNG draws (opt-in) are a different sampler for the
+    same integral: per-channel image means must agree with the
+    counter-RNG render within Monte-Carlo noise, and every pixel must
+    be finite. (Bitwise parity is impossible and not claimed — resume
+    and cross-driver checks stay on the counter RNG.)
+
+    REAL TPU ONLY: pltpu.prng_random_bits is a zeros-stub under
+    force_tpu_interpret_mode (verified: every draw returns 0), so the
+    statistical check is meaningless off-hardware. The driver-side
+    validation lives in scripts/validate_hw_rng.py."""
+    if jax.devices()[0].platform not in ("tpu", "axon"):
+        pytest.skip("hardware PRNG requires a real TPU")
+    _, scene, cam, cam_arrays, params = setup
+    n_pix = W * H
+    flat = np.arange(n_pix, dtype=np.int32)
+    rows = n_pix // tk.LANES
+    xs2d = jnp.asarray(flat % W).reshape(rows, tk.LANES)
+    ys2d = jnp.asarray(flat // W).reshape(rows, tk.LANES)
+    rep2d = jnp.zeros((rows, tk.LANES), jnp.int32)
+    sph_t, ft_t = tk.pack_scene_tables(scene)
+    hints = tk.scene_static_hints(sph_t, ft_t, scene.n_spheres, scene.n_free_tris)
+    tables = (jnp.asarray(sph_t), jnp.asarray(ft_t))
+    cam_vec = jnp.asarray(tk.make_cam_vec(cam))
+
+    spp = 8
+    ref = np.asarray(sample_batch_fused(
+        tables, cam_vec, scene, params, W, H,
+        xs2d, ys2d, rep2d, jnp.int32(0), jnp.int32(spp),
+        samples_per_dispatch=1, hints=hints))
+    out = np.asarray(sample_batch_fused(
+        tables, cam_vec, scene, params, W, H,
+        xs2d, ys2d, rep2d, jnp.int32(0), jnp.int32(spp),
+        samples_per_dispatch=1, hints=hints, hw_rng=True))
+    assert np.isfinite(out).all()
+    m_ref = ref.mean(axis=0) / spp
+    m_out = out.mean(axis=0) / spp
+    # image-mean SE at 8192 pix x 8 spp is ~0.004; allow 4 sigma
+    np.testing.assert_allclose(m_out, m_ref, atol=0.02, rtol=0.05)
