@@ -65,6 +65,12 @@ def main():
                 "value": round(paths_per_s, 1),
                 "unit": "paths/s",
                 "vs_baseline": round(paths_per_s / BASELINE_PATHS_PER_S, 4),
+                # which RNG produced this number (hw = TPU PRNG, not
+                # reproducible per (pixel,sample); ctr = counter PCG,
+                # bit-exact resume) — numbers are only comparable
+                # within one mode
+                "rng": "hw" if hw else "ctr",
+                "spp": bench_spp,
             }
         )
     )

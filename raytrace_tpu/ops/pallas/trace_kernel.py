@@ -195,6 +195,9 @@ def _richness_order(dirty: dict, n: int) -> np.ndarray:
         + 1 * dirty["kind"].astype(int)
         + 1 * dirty["diffp"].astype(int)
         + 2 * dirty["n"].astype(int)
+        + 3 * dirty["rgb"].astype(int)
+        # spheres carry "c" (center), free tris "norm" — 3 selects each
+        + 3 * dirty.get("c", dirty.get("norm")).astype(int)
     )
     return np.argsort(score[:n], kind="stable")
 
@@ -686,6 +689,11 @@ def trace_tiles(
     rows = xs.shape[0]
     assert rows % SUBLANES == 0, rows
     grid = rows // SUBLANES
+    if hw_rng and interpret:
+        # interpret mode stubs pltpu.prng_random_bits to zeros — the
+        # render would be deterministic and biased (corner-pinned
+        # jitter, RR never killing). Fall back to the counter RNG.
+        hw_rng = False
     if seed is None:
         seed = jnp.zeros((1, 1), jnp.int32)
     lane_spec = pl.BlockSpec((SUBLANES, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)

@@ -264,6 +264,19 @@ class Renderer:
             use_fused = tk.supports(self.scene, self.params) and jax.default_backend() != "cpu"
         self.use_fused = use_fused and tk.supports(self.scene, self.params)
         self.spd = samples_per_dispatch or (4 if self.use_fused else 1)
+        # hardware-PRNG draws are a fused-kernel feature; resolve the
+        # flag unconditionally so renderer.hw_rng is always readable
+        if hw_rng is None:
+            hw_rng = os.environ.get("RTPU_HW_RNG", "0") == "1"
+        self.hw_rng = bool(hw_rng)
+        if self.hw_rng and not self.use_fused:
+            import warnings
+
+            warnings.warn(
+                "hw_rng=True has no effect outside the fused kernel path; "
+                "this renderer uses counter-RNG streams", stacklevel=2,
+            )
+            self.hw_rng = False
 
         n_pix = self.width * self.height
         # lane order: 32x32 pixel tiles, NOT scanlines — consecutive
@@ -319,12 +332,6 @@ class Renderer:
             self._cam_vec = jnp.asarray(
                 tk.make_cam_vec(self.camera, float(scheme.render_info.rad_info.russ_roull_info.max_thres))
             )
-            # hardware-PRNG draws (opt-in; env RTPU_HW_RNG=1): faster,
-            # but forfeits per-(pixel,sample) reproducibility — exact
-            # checkpoint resume stays bitwise only in counter-RNG mode
-            if hw_rng is None:
-                hw_rng = os.environ.get("RTPU_HW_RNG", "0") == "1"
-            self.hw_rng = bool(hw_rng)
             self._fstep = partial(
                 _jit_fused_step,
                 width=self.width, height=self.height,
@@ -363,13 +370,19 @@ class Renderer:
         batch: Optional[int] = None,
         update_hook: Optional[Callable[[RenderTarget], None]] = None,
         progress: bool = True,
+        async_hook: bool = True,
     ) -> np.ndarray:
         """Run `samples` MORE samples (sample ids continue at
-        target.count, so a checkpoint-resumed or incremental render is
-        bit-exact — no RNG stream is ever reused); returns (H, W, 3)
+        target.count, so in counter-RNG mode a checkpoint-resumed or
+        incremental render is bit-exact — no RNG stream is ever reused;
+        with hw_rng=True resume is only statistically equivalent, the
+        hardware draws are not keyed by sample id); returns (H, W, 3)
         f32 mean image (row 0 = bottom). update_hook fires after every
         batch with the live target (the reference's per-sample preview
-        push, draw_scene.rs:97-99)."""
+        push, draw_scene.rs:97-99); with async_hook (default) it runs
+        on a writer thread against a snapshot, latest-wins, so PNG /
+        checkpoint / preview IO never blocks the device between
+        batches (the reference's mpsc decoupling, renderer.rs:44)."""
         info = self.scheme.render_info
         total = samples if samples is not None else info.samps_per_pix
         b = batch or info.render_batch or total
@@ -399,6 +412,14 @@ class Renderer:
         from ..utils.profiling import Throughput
 
         meter = Throughput()
+
+        hook = update_hook
+        closer = None
+        if update_hook is not None and async_hook:
+            from ..utils.hooks import AsyncHook
+
+            hook = AsyncHook(update_hook)
+            closer = hook.close
 
         scene_dev = jax.device_put(self.scene)
         n_pix = self.width * self.height
@@ -459,8 +480,10 @@ class Renderer:
             if bar is not None:
                 bar.update(n)
                 bar.set_postfix_str(f"{meter.mpaths_per_s:.1f} Mpaths/s")
-            if update_hook is not None:
-                update_hook(self.target)
+            if hook is not None:
+                hook(self.target)
         if bar is not None:
             bar.close()
+        if closer is not None:
+            closer()  # flush the final snapshot; re-raise hook errors
         return self.target.mean_image()

@@ -253,3 +253,37 @@ def test_checkpoint_resume_exact(tmp_path):
 
     assert resumed.target.count == full.target.count == 4
     np.testing.assert_allclose(resumed.target.acc, full.target.acc, rtol=0, atol=0)
+
+
+def test_async_update_hook():
+    """The update hook runs on a writer thread against snapshots
+    (latest-wins), never blocking the render loop; the FINAL state is
+    always delivered, and hook exceptions surface at the end of
+    render() instead of being swallowed (renderer.rs:44's mpsc
+    decoupling, made checkable)."""
+    import time
+
+    from raytrace_tpu.render.renderer import Renderer
+
+    scheme = _scheme()
+    seen = []
+
+    def slow_hook(target):
+        time.sleep(0.05)  # slower than a batch: forces coalescing
+        seen.append((target.count, target.acc.copy()))
+
+    r = Renderer(scheme)
+    img = r.render(samples=4, batch=1, update_hook=slow_hook, progress=False)
+    # the final snapshot must always arrive, with the full accumulator
+    assert seen[-1][0] == 4
+    np.testing.assert_array_equal(seen[-1][1], r.target.acc)
+    # counts only move forward (snapshots are consistent copies)
+    counts = [c for c, _ in seen]
+    assert counts == sorted(counts)
+
+    def bad_hook(target):
+        raise RuntimeError("boom")
+
+    r2 = Renderer(scheme)
+    with pytest.raises(RuntimeError, match="boom"):
+        r2.render(samples=2, batch=1, update_hook=bad_hook, progress=False)
