@@ -1,6 +1,6 @@
-"""Acceleration structures: native KD-tree/cluster builder + jnp
-culling ops. Replaces reference src/accel/ (kdtree.rs, aabb.rs) with a
-TPU-consumable flattened layout (the shape the reference's own GPU
-serialization used, gpu_structs.rs:628-772)."""
+"""Acceleration structures: native cluster builder (C++) consumed by
+the slab-culled traversal kernels. Replaces reference src/accel/
+(kdtree.rs, aabb.rs) with the dense cluster layout the TPU kernels
+traverse (ops/pallas/mesh_hit_kernel.py)."""
 
-from .builder import KdTree, build_kdtree  # noqa: F401
+from .builder import build_clusters_bvh  # noqa: F401
