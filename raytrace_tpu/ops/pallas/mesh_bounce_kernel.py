@@ -1,0 +1,452 @@
+"""Fused Pallas bounce kernel for MESH scenes.
+
+One pallas_call per bounce runs, for every lane: in-place sample
+regeneration, closest-hit over spheres + free triangles (unrolled
+against SMEM scalars, ops shared with the meshless fused kernel) AND
+mesh triangles (supercluster DMA streaming, ops shared with
+mesh_hit_kernel), then the complete shading / russian-roulette /
+radiance update for lanes whose hit is a sphere / free triangle / miss.
+Lanes whose nearest hit is a MESH triangle cannot finish in-kernel —
+their surface attributes live behind per-lane gathers (the packed
+48-col attribute row and up to nine texel fetches from the flat texture
+pool) that Mosaic cannot issue — so the kernel marks them "pending"
+(flag = 2) and emits (gid, t, u, v); the XLA driver
+(render/fused_mesh.py) completes those bounces with compacted gathers
+and hands the lanes back ready for the next call.
+
+Why this shape wins on TPU (BENCH_NOTES round 1): the wavefront XLA
+bounce step paid ~43 ms per 128k-lane iteration in bounce-step
+machinery — lax.cond cluster culling, queue cumsums, scatter-adds —
+while the Pallas mesh closest-hit kernel itself was 1-4% of device
+time. Here the per-iteration XLA residue is just the gathers that
+genuinely must be gathers (sky texels for misses, attr/texels for
+pending mesh lanes); everything else happens in one kernel launch, and
+lanes are PIXEL-BOUND (lane = pixel, samples advance per lane) so
+there is no queue, no scatter, no cumsum, and radiance accumulates
+per lane.
+
+Lane protocol (flag): 0 = dead (all samples consumed), 1 = ray ready
+for intersection, 2 = mesh-shade pending (this kernel never receives 2;
+the driver resolves them before the next call).
+
+RNG/draw parity with render/integrator._bounce_step (mesh scenes draw
+8 uniforms per bounce): miss / sphere / free-tri lanes consume all 8
+in-kernel; mesh-pending lanes consume NONE (the driver draws the same
+8 from the carried state at shade time), so every (pixel, sample)
+stream is bit-identical with the XLA integrator — the cross-check in
+tests/test_mesh_fused.py.
+
+Reference semantics covered: the gpu radiance loop (trace.wgsl:282-315)
+with brute-force sphere/free-tri order (trace.wgsl:389-444) and the
+cluster-culled mesh nearest hit standing in for the KD traversal the
+reference left stubbed (trace.wgsl:664-667).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .trace_kernel import (
+    EPS,
+    INF,
+    LANES,
+    SUBLANES,
+    SceneHints,
+    _PERMISSIVE,
+    _jenkins,
+    _next_f32,
+    _norm3,
+    closest_sph_ft,
+    uniform_bsdf,
+)
+
+_U32 = jnp.uint32
+TRI_COLS = 16  # mesh triangle record (see mesh_hit_kernel)
+
+
+def _kernel(
+    # static lane grids + scalars
+    xs_ref, ys_ref, samp_ref,
+    # carry in (17)
+    flag_ref, sk_ref, state_ref,
+    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+    cir_ref, cig_ref, cib_ref, inten_ref,
+    lr_ref, lg_ref, lb_ref, depth_ref,
+    # scene tables
+    sph_ref, ft_ref, cam_ref, bounds_ref, sbounds_ref, tri_hbm,
+    # carry out (17)
+    flag_o, sk_o, state_o,
+    ox_o, oy_o, oz_o, dx_o, dy_o, dz_o,
+    cir_o, cig_o, cib_o, inten_o,
+    lr_o, lg_o, lb_o, depth_o,
+    # per-iteration outputs
+    gid_o, tt_o, bu_o, bv_o,
+    mdx_o, mdy_o, mdz_o, mwr_o, mwg_o, mwb_o,
+    # scratch
+    tri_vmem, dma_sem,
+    *, n_sph: int, n_ft: int, n_super: int, group: int, width: int,
+    has_lens: bool, assured: int, max_bounces: int, spl: int,
+    hints: SceneHints,
+):
+    xs = xs_ref[...].astype(jnp.float32)
+    ys = ys_ref[...].astype(jnp.float32)
+
+    # camera scalars (SMEM) — layout of trace_kernel.make_cam_vec
+    c = lambda i: cam_ref[0, i]
+    ox_c, oy_c, oz_c = c(0), c(1), c(2)
+    dx_c, dy_c, dz_c = c(3), c(4), c(5)
+    ux, uy, uz = c(6), c(7), c(8)
+    rx, ry, rz = c(9), c(10), c(11)
+    x_cf, y_cf, x_off, y_off, lens_r = c(12), c(13), c(14), c(15), c(16)
+    max_thres = c(17)
+
+    pix = xs_ref[...].astype(_U32) ^ (ys_ref[...].astype(_U32) << _U32(16))
+    hpix = _jenkins(pix)
+    s_x = x_cf * (xs - x_off)
+    s_y = y_cf * (ys - y_off)
+    bdx = dx_c + s_x * rx + s_y * ux
+    bdy = dy_c + s_x * ry + s_y * uy
+    bdz = dz_c + s_x * rz + s_y * uz
+
+    def start_sample(samp_u32):
+        """rng init + camera raygen for this lane's sample id — same
+        ops as trace_kernel.start_sample (bitwise = ops.rng/ops.raygen)."""
+        seed = hpix ^ _jenkins(samp_u32 ^ _U32(0x9E3779B9))
+        state = _jenkins(seed)
+        dx, dy, dz = bdx, bdy, bdz
+        if has_lens:
+            state, u = _next_f32(state)
+            state, v = _next_f32(state)
+            r_ = jnp.sqrt(u)
+            th = (2.0 * np.pi) * v
+            lx = (r_ - 0.5) * 2.0 * lens_r * jnp.cos(th)
+            ly_ = (r_ - 0.5) * 2.0 * lens_r * jnp.sin(th)
+            offx = rx * lx + ux * ly_
+            offy = ry * lx + uy * ly_
+            offz = rz * lx + uz * ly_
+            ox, oy, oz = offx + ox_c, offy + oy_c, offz + oz_c
+            dx, dy, dz = dx - offx, dy - offy, dz - offz
+        else:
+            one_ = jnp.ones_like(xs)
+            ox, oy, oz = one_ * ox_c, one_ * oy_c, one_ * oz_c
+        state, ju = _next_f32(state)
+        state, jv = _next_f32(state)
+        dx = dx + rx * ((ju - 0.5) * x_cf) + ux * ((jv - 0.5) * y_cf)
+        dy = dy + ry * ((ju - 0.5) * x_cf) + uy * ((jv - 0.5) * y_cf)
+        dz = dz + rz * ((ju - 0.5) * x_cf) + uz * ((jv - 0.5) * y_cf)
+        dx, dy, dz = _norm3(dx, dy, dz)
+        return state, ox, oy, oz, dx, dy, dz
+
+    flag = flag_ref[...]
+    sk = sk_ref[...]
+    state = state_ref[...]
+    ox, oy, oz = ox_ref[...], oy_ref[...], oz_ref[...]
+    dx, dy, dz = dx_ref[...], dy_ref[...], dz_ref[...]
+    cir, cig, cib = cir_ref[...], cig_ref[...], cib_ref[...]
+    inten = inten_ref[...]
+    lr, lg, lb = lr_ref[...], lg_ref[...], lb_ref[...]
+    depth = depth_ref[...]
+    samp0 = samp_ref[...].astype(_U32)
+
+    active = flag > 0.5
+    zero = jnp.zeros_like(dx)
+
+    # ---- sphere + free-triangle closest hit (shared unrolled pass) --
+    s_ = closest_sph_ft(
+        sph_ref, ft_ref, ox, oy, oz, dx, dy, dz,
+        n_sph=n_sph, n_ft=n_ft, hints=hints,
+    )
+    track_kind = s_["track_kind"]
+    t_best = s_["t_best"]
+
+    # ---- mesh closest hit: supercluster DMA streaming (see
+    # mesh_hit_kernel for the layout rationale) ----
+    def clamp(d):
+        return jnp.where(jnp.abs(d) < EPS, jnp.where(d < 0.0, -EPS, EPS), d)
+
+    fx = 1.0 / clamp(dx)
+    fy = 1.0 / clamp(dy)
+    fz = 1.0 / clamp(dz)
+
+    # dead lanes seed -INF so they prune every slab test
+    tt_o[...] = jnp.where(active, t_best, -INF)
+    gid_o[...] = jnp.full_like(gid_o[...], -1)
+    bu_o[...] = jnp.zeros_like(bu_o[...])
+    bv_o[...] = jnp.zeros_like(bv_o[...])
+
+    def slab_reach(ref, ci):
+        b = lambda j: ref[ci, j]
+        t0x = (b(0) - ox) * fx
+        t1x = (b(3) - ox) * fx
+        t0y = (b(1) - oy) * fy
+        t1y = (b(4) - oy) * fy
+        t0z = (b(2) - oz) * fz
+        t1z = (b(5) - oz) * fz
+        entry = jnp.maximum(
+            jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+            jnp.minimum(t0z, t1z),
+        )
+        exit_ = jnp.minimum(
+            jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+            jnp.maximum(t0z, t1z),
+        )
+        return (entry <= exit_) & (exit_ >= 0.0) & (entry < tt_o[...])
+
+    rows_per_cluster = width // 8
+
+    def super_body(sI, _):
+        @pl.when(jnp.any(slab_reach(sbounds_ref, sI)))
+        def _():
+            cp = pltpu.make_async_copy(tri_hbm.at[sI], tri_vmem, dma_sem)
+            cp.start()
+            reaches = [
+                jnp.any(slab_reach(bounds_ref, sI * group + cl))
+                for cl in range(group)
+            ]
+            cp.wait()
+
+            for cl in range(group):  # static unroll
+                def row_body(w8, _, base=cl * rows_per_cluster):
+                    for k in range(8):  # static: lane index stays static
+                        tr = lambda j: tri_vmem[base + w8, k * TRI_COLS + j]
+                        e1x, e1y, e1z = tr(3), tr(4), tr(5)
+                        e2x, e2y, e2z = tr(6), tr(7), tr(8)
+                        pvx = dy * e2z - dz * e2y
+                        pvy = dz * e2x - dx * e2z
+                        pvz = dx * e2y - dy * e2x
+                        det = e1x * pvx + e1y * pvy + e1z * pvz
+                        ok = jnp.abs(det) >= EPS
+                        inv_det = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
+                        hx, hy, hz = ox - tr(0), oy - tr(1), oz - tr(2)
+                        u = inv_det * (hx * pvx + hy * pvy + hz * pvz)
+                        qx = hy * e1z - hz * e1y
+                        qy = hz * e1x - hx * e1z
+                        qz = hx * e1y - hy * e1x
+                        w_ = inv_det * (dx * qx + dy * qy + dz * qz)
+                        t_i = inv_det * (e2x * qx + e2y * qy + e2z * qz)
+                        gid_f = tr(9)
+                        ok2 = ok & (u >= 0.0) & (u <= 1.0) & (w_ >= 0.0) & (u + w_ <= 1.0)
+                        ok2 = ok2 & (t_i >= EPS) & (gid_f >= 0.0)
+                        better = ok2 & (jnp.where(ok2, t_i, INF) < tt_o[...])
+                        tt_o[...] = jnp.where(better, t_i, tt_o[...])
+                        gid_o[...] = jnp.where(
+                            better,
+                            jnp.full_like(gid_o[...], gid_f.astype(jnp.int32)),
+                            gid_o[...],
+                        )
+                        bu_o[...] = jnp.where(better, u, bu_o[...])
+                        bv_o[...] = jnp.where(better, w_, bv_o[...])
+                    return 0
+
+                @pl.when(reaches[cl])
+                def _(row_body=row_body):
+                    jax.lax.fori_loop(0, rows_per_cluster, row_body, 0)
+
+        return 0
+
+    jax.lax.fori_loop(0, n_super, super_body, 0)
+
+    # ---- classification ----
+    mesh_pend = active & (gid_o[...] >= 0)
+    sphft_hit = (s_["kind"] > 0.5 if track_kind else t_best < INF) & active & ~mesh_pend
+    miss = active & ~mesh_pend & ~sphft_hit
+
+    # ---- per-bounce draws (integrator mesh-scene budget: 8) ----
+    # mesh-pending lanes must NOT advance their stream — the driver
+    # draws the same 8 at shade time
+    st8, u0 = _next_f32(state)
+    st8, u1 = _next_f32(st8)
+    st8, u2 = _next_f32(st8)
+    st8, u3 = _next_f32(st8)
+    st8, _u4 = _next_f32(st8)
+    st8, _u5 = _next_f32(st8)
+    st8, _u6 = _next_f32(st8)
+    st8, u7 = _next_f32(st8)
+    state = jnp.where(mesh_pend, state, st8)
+
+    # ---- sphere / free-tri shading (shared BSDF ops) ----
+    nxv, nyv, nzv = s_["nxv"], s_["nyv"], s_["nzv"]
+    t_safe = jnp.where(sphft_hit, t_best, 0.0)
+    px = ox + dx * t_safe
+    py = oy + dy * t_safe
+    pz = oz + dz * t_safe
+    if n_sph:
+        snx, sny, snz = _norm3(px - s_["scx"], py - s_["scy"], pz - s_["scz"])
+        if track_kind:
+            is_sph = s_["kind"] == 1.0
+            nxv = jnp.where(is_sph, snx, nxv)
+            nyv = jnp.where(is_sph, sny, nyv)
+            nzv = jnp.where(is_sph, snz, nzv)
+        else:
+            nxv, nyv, nzv = snx, sny, snz
+
+    posx = px + nxv * EPS
+    posy = py + nyv * EPS
+    posz = pz + nzv * EPS
+
+    ndx, ndy, ndz, weight = uniform_bsdf(
+        dx, dy, dz, nxv, nyv, nzv, s_["mkind"], s_["diffp"],
+        s_["n_out"], s_["n_in"], u0, u1, u2, u3, hints=hints,
+    )
+
+    # ---- gpu-mode radiance update (trace.wgsl:290-315) ----
+    mul_i = (lambda a: a) if weight is None else (lambda a: a * inten)
+    mdx_o[...] = jnp.where(miss, dx, zero)
+    mdy_o[...] = jnp.where(miss, dy, zero)
+    mdz_o[...] = jnp.where(miss, dz, zero)
+    mwr_o[...] = jnp.where(miss, mul_i(cir), zero)
+    mwg_o[...] = jnp.where(miss, mul_i(cig), zero)
+    mwb_o[...] = jnp.where(miss, mul_i(cib), zero)
+
+    if hints.any_em:
+        add_em = sphft_hit & (s_["has_em"] > 0.5)
+        lr = lr + jnp.where(add_em, s_["em_r"] * mul_i(cir), 0.0)
+        lg = lg + jnp.where(add_em, s_["em_g"] * mul_i(cig), 0.0)
+        lb = lb + jnp.where(add_em, s_["em_b"] * mul_i(cib), 0.0)
+        cir = jnp.where(add_em, cir * s_["rgb_r"], cir)
+        cig = jnp.where(add_em, cig * s_["rgb_g"], cig)
+        cib = jnp.where(add_em, cib * s_["rgb_b"], cib)
+
+    cir = jnp.where(sphft_hit, cir * s_["rgb_r"], cir)
+    cig = jnp.where(sphft_hit, cig * s_["rgb_g"], cig)
+    cib = jnp.where(sphft_hit, cib * s_["rgb_b"], cib)
+
+    rr_due = depth >= float(assured)
+    rr_kill = rr_due & (u7 > max_thres)
+    term = sphft_hit & rr_kill
+    inv_thres = 1.0 / max_thres
+    lr = lr + jnp.where(term, mul_i(cir * inv_thres), 0.0)
+    lg = lg + jnp.where(term, mul_i(cig * inv_thres), 0.0)
+    lb = lb + jnp.where(term, mul_i(cib * inv_thres), 0.0)
+    cir = jnp.where(term, cir * inv_thres, cir)
+    cig = jnp.where(term, cig * inv_thres, cig)
+    cib = jnp.where(term, cib * inv_thres, cib)
+
+    survive = sphft_hit & ~rr_kill
+    if weight is not None:
+        inten = jnp.where(survive, inten * weight, inten)
+
+    ox = jnp.where(survive, posx, ox)
+    oy = jnp.where(survive, posy, oy)
+    oz = jnp.where(survive, posz, oz)
+    dx = jnp.where(survive, ndx, dx)
+    dy = jnp.where(survive, ndy, dy)
+    dz = jnp.where(survive, ndz, dz)
+    depth = depth + jnp.where(survive, 1.0, 0.0)
+
+    # ---- in-place sample regeneration (trace_kernel's spl trick; the
+    # cubemap contribution of a missed lane is added by the driver from
+    # the md/mw outputs, so the lane itself can restart immediately) --
+    alive = survive & (depth < float(max_bounces))
+    done = (miss | sphft_hit) & ~alive  # this lane's path ended
+    regen = done & (sk + 1.0 < float(spl))
+    sk = sk + jnp.where(regen, 1.0, 0.0)
+    samp_u = samp0 + sk.astype(jnp.int32).astype(_U32)
+    st2, ox2, oy2, oz2, dx2, dy2, dz2 = start_sample(samp_u)
+    state = jnp.where(regen, st2, state)
+    ox = jnp.where(regen, ox2, ox)
+    oy = jnp.where(regen, oy2, oy)
+    oz = jnp.where(regen, oz2, oz)
+    dx = jnp.where(regen, dx2, dx)
+    dy = jnp.where(regen, dy2, dy)
+    dz = jnp.where(regen, dz2, dz)
+    cir = jnp.where(regen, 1.0, cir)
+    cig = jnp.where(regen, 1.0, cig)
+    cib = jnp.where(regen, 1.0, cib)
+    inten = jnp.where(regen, 1.0, inten)
+    depth = jnp.where(regen, 0.0, depth)
+
+    flag = jnp.where(mesh_pend, 2.0, jnp.where(alive | regen, 1.0, jnp.where(active, 0.0, flag)))
+
+    flag_o[...] = flag
+    sk_o[...] = sk
+    state_o[...] = state
+    ox_o[...] = ox
+    oy_o[...] = oy
+    oz_o[...] = oz
+    dx_o[...] = dx
+    dy_o[...] = dy
+    dz_o[...] = dz
+    cir_o[...] = cir
+    cig_o[...] = cig
+    cib_o[...] = cib
+    inten_o[...] = inten
+    lr_o[...] = lr
+    lg_o[...] = lg
+    lb_o[...] = lb
+    depth_o[...] = depth
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_sph", "n_ft", "n_clusters", "width", "has_lens", "assured",
+        "max_bounces", "spl", "hints", "interpret",
+    ),
+)
+def bounce_tiles(
+    xs, ys, samp, carry, sph_table, ft_table, cam_vec, bounds, sbounds, tri,
+    n_sph: int, n_ft: int, n_clusters: int, width: int,
+    has_lens: bool, assured: int, max_bounces: int, spl: int,
+    hints: SceneHints = _PERMISSIVE, interpret: bool = False,
+):
+    """One bounce for every lane. xs/ys: (R, 128) i32 pixel grids;
+    samp: (R, 128) i32 base sample id; carry: 17-tuple of (R, 128)
+    lane-state arrays in _CARRY order; mesh tables from
+    mesh_hit_kernel.pack_mesh_tables_np (n_clusters = padded Cp).
+    Returns (carry', gid, tt, bu, bv, md(3), mw(3))."""
+    from .mesh_hit_kernel import GROUP
+
+    rows = xs.shape[0]
+    assert rows % SUBLANES == 0, rows
+    assert n_clusters % GROUP == 0
+    grid = rows // SUBLANES
+    lane = pl.BlockSpec((SUBLANES, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    smem = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.SMEM)
+    bounds_space = pltpu.SMEM if n_clusters <= 512 else pltpu.VMEM
+    table = lambda a, space: pl.BlockSpec(
+        a.shape, lambda i: (0, 0, 0)[: a.ndim], memory_space=space
+    )
+    f32 = jnp.float32
+    out_shape = (
+        [jax.ShapeDtypeStruct((rows, LANES), f32)] * 2  # flag, sk
+        + [jax.ShapeDtypeStruct((rows, LANES), jnp.uint32)]  # state
+        + [jax.ShapeDtypeStruct((rows, LANES), f32)] * 14  # rays..depth
+        + [jax.ShapeDtypeStruct((rows, LANES), jnp.int32)]  # gid
+        + [jax.ShapeDtypeStruct((rows, LANES), f32)] * 9  # tt,bu,bv,md,mw
+    )
+    kernel = functools.partial(
+        _kernel,
+        n_sph=n_sph, n_ft=n_ft, n_super=n_clusters // GROUP, group=GROUP,
+        width=width, has_lens=has_lens, assured=assured,
+        max_bounces=max_bounces, spl=spl, hints=hints,
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=(
+            [lane] * 3
+            + [lane] * 2  # flag, sk
+            + [lane]  # state (u32)
+            + [lane] * 14
+            + [
+                smem(sph_table.shape), smem(ft_table.shape), smem(cam_vec.shape),
+                table(bounds, bounds_space),
+                table(sbounds, pltpu.SMEM if sbounds.shape[0] <= 512 else pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ]
+        ),
+        out_specs=[lane] * 27,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((GROUP * (width // 8), 8 * TRI_COLS), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(xs, ys, samp, *carry, sph_table, ft_table, cam_vec, bounds, sbounds, tri)
+    return outs[:17], outs[17:]

@@ -227,6 +227,174 @@ def _norm3(x, y, z, tiny=1e-30):
     return x * inv, y * inv, z * inv
 
 
+def closest_sph_ft(sph_ref, ft_ref, ox, oy, oz, dx, dy, dz,
+                   *, n_sph: int, n_ft: int, hints: "SceneHints"):
+    """Unrolled closest-hit over the sphere/free-tri SMEM tables with
+    in-pass attribute selection (shared by the meshless fused kernel
+    and the mesh bounce kernel — see the _kernel docstring below for
+    the op-level rationale). Returns a dict of running (block-shaped)
+    values: t_best, kind (0 none / 1 sphere / 2 freetri; only tracked
+    when both kinds exist), scx/scy/scz (best-sphere center),
+    nxv/nyv/nzv (free-tri stored normal), rgb_*, em_*, has_em, mkind,
+    diffp, n_out, n_in, plus the static flags track_kind / sel_diffp /
+    sel_n."""
+    zero = jnp.zeros_like(dx)
+    one = jnp.ones_like(dx)
+    track_kind = n_sph > 0 and n_ft > 0
+    sel_diffp = hints.uni_diffp is None
+    sel_n = hints.uni_n is None
+    s_ = dict(
+        t_best=jnp.full_like(dx, INF),
+        kind=zero,
+        scx=zero, scy=zero, scz=zero,
+        nxv=zero, nyv=zero, nzv=zero,
+        rgb_r=zero, rgb_g=zero, rgb_b=zero,
+        em_r=zero, em_g=zero, em_b=zero,
+        has_em=zero, mkind=zero,
+        diffp=jnp.float32(hints.uni_diffp) if not sel_diffp else zero,
+        n_out=one if sel_n else jnp.float32(hints.uni_n[0]),
+        n_in=one if sel_n else jnp.float32(hints.uni_n[1]),
+        track_kind=track_kind, sel_diffp=sel_diffp, sel_n=sel_n,
+    )
+
+    def sel_common(better, g, i, fd, fd_diffp, fd_n):
+        if i >= fd[0]:
+            s_["rgb_r"] = jnp.where(better, g("rr"), s_["rgb_r"])
+            s_["rgb_g"] = jnp.where(better, g("gg"), s_["rgb_g"])
+            s_["rgb_b"] = jnp.where(better, g("bb"), s_["rgb_b"])
+        if i >= fd[1]:
+            s_["em_r"] = jnp.where(better, g("em_r"), s_["em_r"])
+            s_["em_g"] = jnp.where(better, g("em_g"), s_["em_g"])
+            s_["em_b"] = jnp.where(better, g("em_b"), s_["em_b"])
+            s_["has_em"] = jnp.where(better, g("has_em"), s_["has_em"])
+        if i >= fd[2]:
+            s_["mkind"] = jnp.where(better, g("kind"), s_["mkind"])
+        if sel_diffp and i >= fd_diffp:
+            s_["diffp"] = jnp.where(better, g("diffp"), s_["diffp"])
+        if sel_n and i >= fd_n:
+            s_["n_out"] = jnp.where(better, g("n_out"), s_["n_out"])
+            s_["n_in"] = jnp.where(better, g("n_in"), s_["n_in"])
+
+    for si in range(n_sph):
+        s = lambda k: sph_ref[si, _SC[k]]
+        ocx, ocy, ocz = ox - s("cx"), oy - s("cy"), oz - s("cz")
+        dirv = dx * ocx + dy * ocy + dz * ocz
+        consts = ocx * ocx + ocy * ocy + ocz * ocz - s("r") * s("r")
+        disc = dirv * dirv - consts
+        pos = disc > 0.0
+        sq = jnp.sqrt(jnp.where(pos, disc, 1.0))
+        near = -dirv - sq
+        t_i = jnp.where(pos & (near > 0.0), near, INF)
+        better = t_i < s_["t_best"]
+        s_["t_best"] = jnp.where(better, t_i, s_["t_best"])
+        if track_kind:
+            s_["kind"] = jnp.where(better, 1.0, s_["kind"])
+        if si >= hints.sph_fd[3]:
+            s_["scx"] = jnp.where(better, s("cx"), s_["scx"])
+            s_["scy"] = jnp.where(better, s("cy"), s_["scy"])
+            s_["scz"] = jnp.where(better, s("cz"), s_["scz"])
+        sel_common(better, s, si, hints.sph_fd, hints.sph_fd_diffp, hints.sph_fd_n)
+    for fi in range(n_ft):
+        f = lambda k: ft_ref[fi, _FC[k]]
+        e1x, e1y, e1z = f("e1x"), f("e1y"), f("e1z")
+        e2x, e2y, e2z = f("e2x"), f("e2y"), f("e2z")
+        pvx = dy * e2z - dz * e2y
+        pvy = dz * e2x - dx * e2z
+        pvz = dx * e2y - dy * e2x
+        det = e1x * pvx + e1y * pvy + e1z * pvz
+        ok = jnp.abs(det) >= EPS
+        inv_det = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
+        hx, hy, hz = ox - f("v0x"), oy - f("v0y"), oz - f("v0z")
+        u = inv_det * (hx * pvx + hy * pvy + hz * pvz)
+        qx = hy * e1z - hz * e1y
+        qy = hz * e1x - hx * e1z
+        qz = hx * e1y - hy * e1x
+        w = inv_det * (dx * qx + dy * qy + dz * qz)
+        t_i = inv_det * (e2x * qx + e2y * qy + e2z * qz)
+        ok = ok & (u >= 0.0) & (u <= 1.0) & (w >= 0.0) & (u + w <= 1.0) & (t_i >= EPS)
+        t_i = jnp.where(ok, t_i, INF)
+        better = t_i < s_["t_best"]
+        s_["t_best"] = jnp.where(better, t_i, s_["t_best"])
+        if track_kind:
+            s_["kind"] = jnp.where(better, 2.0, s_["kind"])
+        if fi >= hints.ft_fd[3]:
+            s_["nxv"] = jnp.where(better, f("nx"), s_["nxv"])
+            s_["nyv"] = jnp.where(better, f("ny"), s_["nyv"])
+            s_["nzv"] = jnp.where(better, f("nz"), s_["nzv"])
+        sel_common(better, f, fi, hints.ft_fd, hints.ft_fd_diffp, hints.ft_fd_n)
+    return s_
+
+
+def uniform_bsdf(dx, dy, dz, nxv, nyv, nzv, mkind, diffp, n_out, n_in,
+                 u0, u1, u2, u3, *, hints: "SceneHints"):
+    """Uniform-material BSDF sampling for a sphere/free-tri hit
+    (integrator._shade_hit's masked-lobe combine): mirror spec, cosine
+    diffuse, gpu-mode dielectric. Returns (ndx, ndy, ndz, weight) with
+    weight None when the scene has no dielectric (intensity stays 1)."""
+    dn = dx * nxv + dy * nyv + dz * nzv
+    # spec
+    sdx, sdy, sdz = _norm3(dx - nxv * (2.0 * dn), dy - nyv * (2.0 * dn), dz - nzv * (2.0 * dn))
+    # diff: frame (xd, yd, n)
+    xdx, xdy, xdz = _norm3(dx - nxv * dn, dy - nyv * dn, dz - nzv * dn)
+    ydx = nyv * xdz - nzv * xdy
+    ydy = nzv * xdx - nxv * xdz
+    ydz = nxv * xdy - nyv * xdx
+    ydx, ydy, ydz = _norm3(ydx, ydy, ydz)
+    r_ = jnp.sqrt(u1)
+    th = (2.0 * np.pi) * u2
+    ca, sa = r_ * jnp.cos(th), r_ * jnp.sin(th)
+    zz = jnp.sqrt(jnp.maximum(1.0 - u1, 0.0))
+    ddx, ddy, ddz = _norm3(xdx * ca + ydx * sa + nxv * zz,
+                           xdy * ca + ydy * sa + nyv * zz,
+                           xdz * ca + ydz * sa + nzv * zz)
+    if hints.any_ds:
+        ds_diff = u0 < diffp
+        is_diff = (mkind == 1.0) | ((mkind == 2.0) & ds_diff)
+    else:
+        is_diff = mkind == 1.0
+
+    if hints.any_refr:
+        # dielectric (gpu mode)
+        into = dn < 0.0
+        n1 = jnp.where(into, n_out, n_in)
+        n2 = jnp.where(into, n_in, n_out)
+        c1 = jnp.abs(dn)
+        nrx = jnp.where(into, nxv, -nxv)
+        nry = jnp.where(into, nyv, -nyv)
+        nrz = jnp.where(into, nzv, -nzv)
+        n_over = n1 / n2
+        c22 = 1.0 - n_over * n_over * (1.0 - c1 * c1)
+        tir = c22 < 0.0
+        dnr = dx * nrx + dy * nry + dz * nrz
+        refx, refy, refz = _norm3(dx - nrx * (2.0 * dnr), dy - nry * (2.0 * dnr), dz - nrz * (2.0 * dnr))
+        sq22 = jnp.sqrt(jnp.where(c22 > 0.0, c22, 1.0))
+        k_t = n_over * c1 - sq22
+        tx = jnp.where(tir, dx, dx * n_over + nrx * k_t)
+        ty = jnp.where(tir, dy, dy * n_over + nry * k_t)
+        tz = jnp.where(tir, dz, dz * n_over + nrz * k_t)
+        r0 = ((n1 - n2) / (n1 + n2)) ** 2
+        cos_term = 1.0 - (tx * nxv + ty * nyv + tz * nzv)
+        re = r0 + (1.0 + r0) * cos_term**5
+        do_refl = tir | (u3 < re)
+        tnx, tny, tnz = _norm3(tx, ty, tz)
+        rfx = jnp.where(do_refl, refx, tnx)
+        rfy = jnp.where(do_refl, refy, tny)
+        rfz = jnp.where(do_refl, refz, tnz)
+        refr_w = jnp.where(do_refl, 1.0, 1.0 - re)
+
+        is_refr = mkind == 3.0
+        ndx = jnp.where(is_refr, rfx, jnp.where(is_diff, ddx, sdx))
+        ndy = jnp.where(is_refr, rfy, jnp.where(is_diff, ddy, sdy))
+        ndz = jnp.where(is_refr, rfz, jnp.where(is_diff, ddz, sdz))
+        weight = jnp.where(is_refr, refr_w, 1.0)
+    else:
+        ndx = jnp.where(is_diff, ddx, sdx)
+        ndy = jnp.where(is_diff, ddy, sdy)
+        ndz = jnp.where(is_diff, ddz, sdz)
+        weight = None  # no dielectric -> intensity stays 1
+    return ndx, ndy, ndz, weight
+
+
 def _kernel(
     # refs
     xs_ref, ys_ref, samp_ref, seed_ref, sph_ref, ft_ref, cam_ref,
@@ -329,91 +497,18 @@ def _kernel(
         # disc > 0, so the redundant compare is dropped. SceneHints
         # statically delete selects whose value cannot differ from the
         # running default (see SceneHints docstring).
-        track_kind = n_sph > 0 and n_ft > 0
-        sel_diffp = hints.uni_diffp is None
-        sel_n = hints.uni_n is None
-        t_best = jnp.full_like(dx, INF)
-        kind = zero  # 0 none / 1 sphere / 2 freetri (f32 compares)
-        scx = zero; scy = zero; scz = zero  # best-sphere center
-        nxv = zero; nyv = zero; nzv = zero  # free-tri stored normal
-        rgb_r = zero; rgb_g = zero; rgb_b = zero
-        em_r = zero; em_g = zero; em_b = zero
-        has_em = zero; mkind = zero
-        diffp = jnp.float32(hints.uni_diffp) if not sel_diffp else zero
-        if sel_n:
-            n_out = one
-            n_in = one
-        else:
-            n_out = jnp.float32(hints.uni_n[0])
-            n_in = jnp.float32(hints.uni_n[1])
-
-        def sel_common(better, g, i, fd, fd_diffp, fd_n):
-            nonlocal rgb_r, rgb_g, rgb_b, em_r, em_g, em_b
-            nonlocal has_em, mkind, diffp, n_out, n_in
-            if i >= fd[0]:
-                rgb_r = jnp.where(better, g("rr"), rgb_r)
-                rgb_g = jnp.where(better, g("gg"), rgb_g)
-                rgb_b = jnp.where(better, g("bb"), rgb_b)
-            if i >= fd[1]:
-                em_r = jnp.where(better, g("em_r"), em_r)
-                em_g = jnp.where(better, g("em_g"), em_g)
-                em_b = jnp.where(better, g("em_b"), em_b)
-                has_em = jnp.where(better, g("has_em"), has_em)
-            if i >= fd[2]:
-                mkind = jnp.where(better, g("kind"), mkind)
-            if sel_diffp and i >= fd_diffp:
-                diffp = jnp.where(better, g("diffp"), diffp)
-            if sel_n and i >= fd_n:
-                n_out = jnp.where(better, g("n_out"), n_out)
-                n_in = jnp.where(better, g("n_in"), n_in)
-
-        for si in range(n_sph):
-            s = lambda k: sph_ref[si, _SC[k]]
-            ocx, ocy, ocz = ox - s("cx"), oy - s("cy"), oz - s("cz")
-            dirv = dx * ocx + dy * ocy + dz * ocz
-            consts = ocx * ocx + ocy * ocy + ocz * ocz - s("r") * s("r")
-            disc = dirv * dirv - consts
-            pos = disc > 0.0
-            sq = jnp.sqrt(jnp.where(pos, disc, 1.0))
-            near = -dirv - sq
-            t_i = jnp.where(pos & (near > 0.0), near, INF)
-            better = t_i < t_best
-            t_best = jnp.where(better, t_i, t_best)
-            if track_kind:
-                kind = jnp.where(better, 1.0, kind)
-            if si >= hints.sph_fd[3]:
-                scx = jnp.where(better, s("cx"), scx)
-                scy = jnp.where(better, s("cy"), scy)
-                scz = jnp.where(better, s("cz"), scz)
-            sel_common(better, s, si, hints.sph_fd, hints.sph_fd_diffp, hints.sph_fd_n)
-        for fi in range(n_ft):
-            f = lambda k: ft_ref[fi, _FC[k]]
-            e1x, e1y, e1z = f("e1x"), f("e1y"), f("e1z")
-            e2x, e2y, e2z = f("e2x"), f("e2y"), f("e2z")
-            pvx = dy * e2z - dz * e2y
-            pvy = dz * e2x - dx * e2z
-            pvz = dx * e2y - dy * e2x
-            det = e1x * pvx + e1y * pvy + e1z * pvz
-            ok = jnp.abs(det) >= EPS
-            inv_det = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
-            hx, hy, hz = ox - f("v0x"), oy - f("v0y"), oz - f("v0z")
-            u = inv_det * (hx * pvx + hy * pvy + hz * pvz)
-            qx = hy * e1z - hz * e1y
-            qy = hz * e1x - hx * e1z
-            qz = hx * e1y - hy * e1x
-            w = inv_det * (dx * qx + dy * qy + dz * qz)
-            t_i = inv_det * (e2x * qx + e2y * qy + e2z * qz)
-            ok = ok & (u >= 0.0) & (u <= 1.0) & (w >= 0.0) & (u + w <= 1.0) & (t_i >= EPS)
-            t_i = jnp.where(ok, t_i, INF)
-            better = t_i < t_best
-            t_best = jnp.where(better, t_i, t_best)
-            if track_kind:
-                kind = jnp.where(better, 2.0, kind)
-            if fi >= hints.ft_fd[3]:
-                nxv = jnp.where(better, f("nx"), nxv)
-                nyv = jnp.where(better, f("ny"), nyv)
-                nzv = jnp.where(better, f("nz"), nzv)
-            sel_common(better, f, fi, hints.ft_fd, hints.ft_fd_diffp, hints.ft_fd_n)
+        s_ = closest_sph_ft(
+            sph_ref, ft_ref, ox, oy, oz, dx, dy, dz,
+            n_sph=n_sph, n_ft=n_ft, hints=hints,
+        )
+        track_kind = s_["track_kind"]
+        t_best, kind = s_["t_best"], s_["kind"]
+        scx, scy, scz = s_["scx"], s_["scy"], s_["scz"]
+        nxv, nyv, nzv = s_["nxv"], s_["nyv"], s_["nzv"]
+        rgb_r, rgb_g, rgb_b = s_["rgb_r"], s_["rgb_g"], s_["rgb_b"]
+        em_r, em_g, em_b = s_["em_r"], s_["em_g"], s_["em_b"]
+        has_em, mkind = s_["has_em"], s_["mkind"]
+        diffp, n_out, n_in = s_["diffp"], s_["n_out"], s_["n_in"]
 
         hit = kind > 0.5 if track_kind else t_best < INF
         miss = ~hit
@@ -447,67 +542,10 @@ def _kernel(
         posz = pz + nzv * EPS
 
         # ---- BSDF sampling (see integrator._shade_hit) ----
-        dn = dx * nxv + dy * nyv + dz * nzv
-        # spec
-        sdx, sdy, sdz = _norm3(dx - nxv * (2.0 * dn), dy - nyv * (2.0 * dn), dz - nzv * (2.0 * dn))
-        # diff: frame (xd, yd, n)
-        xdx, xdy, xdz = _norm3(dx - nxv * dn, dy - nyv * dn, dz - nzv * dn)
-        ydx = nyv * xdz - nzv * xdy
-        ydy = nzv * xdx - nxv * xdz
-        ydz = nxv * xdy - nyv * xdx
-        ydx, ydy, ydz = _norm3(ydx, ydy, ydz)
-        r_ = jnp.sqrt(u1)
-        th = (2.0 * np.pi) * u2
-        ca, sa = r_ * jnp.cos(th), r_ * jnp.sin(th)
-        zz = jnp.sqrt(jnp.maximum(1.0 - u1, 0.0))
-        ddx, ddy, ddz = _norm3(xdx * ca + ydx * sa + nxv * zz,
-                               xdy * ca + ydy * sa + nyv * zz,
-                               xdz * ca + ydz * sa + nzv * zz)
-        if hints.any_ds:
-            ds_diff = u0 < diffp
-            is_diff = (mkind == 1.0) | ((mkind == 2.0) & ds_diff)
-        else:
-            is_diff = mkind == 1.0
-
-        if hints.any_refr:
-            # dielectric (gpu mode)
-            into = dn < 0.0
-            n1 = jnp.where(into, n_out, n_in)
-            n2 = jnp.where(into, n_in, n_out)
-            c1 = jnp.abs(dn)
-            nrx = jnp.where(into, nxv, -nxv)
-            nry = jnp.where(into, nyv, -nyv)
-            nrz = jnp.where(into, nzv, -nzv)
-            n_over = n1 / n2
-            c22 = 1.0 - n_over * n_over * (1.0 - c1 * c1)
-            tir = c22 < 0.0
-            dnr = dx * nrx + dy * nry + dz * nrz
-            refx, refy, refz = _norm3(dx - nrx * (2.0 * dnr), dy - nry * (2.0 * dnr), dz - nrz * (2.0 * dnr))
-            sq22 = jnp.sqrt(jnp.where(c22 > 0.0, c22, 1.0))
-            k_t = n_over * c1 - sq22
-            tx = jnp.where(tir, dx, dx * n_over + nrx * k_t)
-            ty = jnp.where(tir, dy, dy * n_over + nry * k_t)
-            tz = jnp.where(tir, dz, dz * n_over + nrz * k_t)
-            r0 = ((n1 - n2) / (n1 + n2)) ** 2
-            cos_term = 1.0 - (tx * nxv + ty * nyv + tz * nzv)
-            re = r0 + (1.0 + r0) * cos_term**5
-            do_refl = tir | (u3 < re)
-            tnx, tny, tnz = _norm3(tx, ty, tz)
-            rfx = jnp.where(do_refl, refx, tnx)
-            rfy = jnp.where(do_refl, refy, tny)
-            rfz = jnp.where(do_refl, refz, tnz)
-            refr_w = jnp.where(do_refl, 1.0, 1.0 - re)
-
-            is_refr = mkind == 3.0
-            ndx = jnp.where(is_refr, rfx, jnp.where(is_diff, ddx, sdx))
-            ndy = jnp.where(is_refr, rfy, jnp.where(is_diff, ddy, sdy))
-            ndz = jnp.where(is_refr, rfz, jnp.where(is_diff, ddz, sdz))
-            weight = jnp.where(is_refr, refr_w, 1.0)
-        else:
-            ndx = jnp.where(is_diff, ddx, sdx)
-            ndy = jnp.where(is_diff, ddy, sdy)
-            ndz = jnp.where(is_diff, ddz, sdz)
-            weight = None  # no dielectric -> intensity stays 1
+        ndx, ndy, ndz, weight = uniform_bsdf(
+            dx, dy, dz, nxv, nyv, nzv, mkind, diffp, n_out, n_in,
+            u0, u1, u2, u3, hints=hints,
+        )
 
         # ---- gpu-mode radiance update (trace.wgsl:290-315) ----
         # no dielectric in scene -> inten is identically 1; drop the

@@ -480,6 +480,111 @@ def sample_cubemap(scene, rd: Vec3) -> Vec3:
     )
 
 
+def mesh_attrs_dense(scene, mi, bu, bv):
+    """Mesh-triangle shading attributes for every lane: shading normal
+    (normal-mapped when present), surface rgb (factor x base texel),
+    metal, rough. mi: (T,) clipped triangle ids; bu/bv barycentrics.
+    Formula parity: mesh/triangle.rs:136-207 == trace.wgsl:906-1123.
+    Returns an 8-tuple of (T,) arrays (nx, ny, nz, rr, rg, rb, metal,
+    rough)."""
+    attr = jnp.take(scene.mt_attr, mi, axis=0)  # (T, 48)
+    a = lambda j: attr[:, j]
+    mt_const_norm = Vec3(a(0), a(1), a(2))
+    if scene.any_textured:
+        # descriptors ride bitcast in attr cols 38:47 (see
+        # models/scene.py) — saves the second row gather
+        desc = jax.lax.bitcast_convert_type(attr[:, 38:47], jnp.int32)
+        b0 = 1.0 - bu - bv
+
+        def interp(base):
+            # barycentric uv (mesh/triangle.rs:228-237)
+            uu = b0 * a(base) + bu * a(base + 2) + bv * a(base + 4)
+            vv = b0 * a(base + 1) + bu * a(base + 3) + bv * a(base + 5)
+            return uu, vv
+
+        def fetch(d0, uu, vv):
+            # nearest-neighbor texel fetch (uv_image.rs:10-23);
+            # the pool stays FLAT — an (T, 3) view would be
+            # (8,128)-tiled in HBM, padding the minor dim 42x
+            off, wid, hei = desc[:, d0], desc[:, d0 + 1], desc[:, d0 + 2]
+            wf = wid.astype(jnp.float32)
+            hf = hei.astype(jnp.float32)
+            px = jnp.clip(uu * wf, 0.0, jnp.maximum(wf - 1.0, 0.0)).astype(jnp.int32)
+            py = jnp.clip(vv * hf, 0.0, jnp.maximum(hf - 1.0, 0.0)).astype(jnp.int32)
+            ok = wid > 0
+            base3 = jnp.where(ok, off + 3 * (px + py * wid), 0)
+            z = jnp.float32(0.0)
+            return ok, Vec3(
+                jnp.where(ok, jnp.take(scene.tex_pool, base3, mode="clip"), z),
+                jnp.where(ok, jnp.take(scene.tex_pool, base3 + 1, mode="clip"), z),
+                jnp.where(ok, jnp.take(scene.tex_pool, base3 + 2, mode="clip"), z),
+            )
+
+        # raw [0,1] texel used as the tangent-space vector —
+        # parity with mesh/triangle.rs:149-151 (no 2x-1 remap)
+        uvn_u, uvn_v = interp(25)
+        _, ntexel = fetch(3, uvn_u, uvn_v)
+        mx = a(3) * ntexel.x + a(4) * ntexel.y + a(5) * ntexel.z
+        my = a(6) * ntexel.x + a(7) * ntexel.y + a(8) * ntexel.z
+        mz = a(9) * ntexel.x + a(10) * ntexel.y + a(11) * ntexel.z
+        mapped = v3.normalize(Vec3(mx, my, mz) * a(12), eps=1e-20)
+        mt_norm = v3.where(a(18) > 0.5, mapped, mt_const_norm)
+
+        uvr_u, uvr_v = interp(19)
+        has_rt, rtexel = fetch(0, uvr_u, uvr_v)
+        one_t = jnp.ones_like(bu)
+        texmul = v3.where(has_rt, rtexel, Vec3(one_t, one_t, one_t))
+        mt_rgb = Vec3(a(13), a(14), a(15)) * texmul
+
+        uvm_u, uvm_v = interp(31)
+        has_mt_, mtexel = fetch(6, uvm_u, uvm_v)
+        # metal scales the BLUE channel, rough the GREEN
+        # (mesh/triangle.rs:195-197 == trace.wgsl:1120-1123)
+        mt_metal = a(16) * jnp.where(has_mt_, mtexel.z, 1.0)
+        mt_rough = a(17) * jnp.where(has_mt_, mtexel.y, 1.0)
+    else:
+        mt_norm = mt_const_norm
+        mt_rgb = Vec3(a(13), a(14), a(15))
+        mt_metal = a(16)
+        mt_rough = a(17)
+    return (mt_norm.x, mt_norm.y, mt_norm.z,
+            mt_rgb.x, mt_rgb.y, mt_rgb.z, mt_metal, mt_rough)
+
+
+def mesh_attrs_compacted(scene, is_mt, mi_all, bu, bv):
+    """mesh_attrs_dense evaluated only on the (typically sparse)
+    mesh-hit lanes: scatter their ids into a quarter-width compact
+    buffer (prefix-sum ranks), run the gather-heavy attribute/texture
+    path there, gather results back. If more than a quarter of the
+    lanes hit the mesh, a lax.cond falls back to the dense evaluation —
+    correctness never depends on the estimate."""
+    n_lanes = mi_all.shape[0]
+    K = n_lanes // 4
+    ranks = jnp.cumsum(is_mt.astype(jnp.int32))
+    count = ranks[-1]
+    dest = jnp.where(is_mt, ranks - 1, K)
+    lane_ids = jnp.arange(n_lanes, dtype=jnp.int32)
+
+    def compact():
+        id_buf = (
+            jnp.zeros((K + 1,), jnp.int32).at[dest].set(lane_ids)[:K]
+        )
+        outs_c = mesh_attrs_dense(
+            scene,
+            jnp.take(mi_all, id_buf),
+            jnp.take(bu, id_buf),
+            jnp.take(bv, id_buf),
+        )
+        src = jnp.clip(ranks - 1, 0, K - 1)
+        return tuple(
+            jnp.where(is_mt, jnp.take(o, src), 0.0) for o in outs_c
+        )
+
+    return jax.lax.cond(
+        count <= K, compact, lambda: mesh_attrs_dense(scene, mi_all, bu, bv)
+    )
+
+
 def _shade_hit(scene, params, ro: Vec3, rd: Vec3, t, kind, idx, bu, bv, draws):
     """Per-lane masked combine over primitive kinds: shading normal,
     surface rgb, emissive + flag, new ray, material weight."""
@@ -541,68 +646,7 @@ def _shade_hit(scene, params, ro: Vec3, rd: Vec3, t, kind, idx, bu, bv, draws):
     # 18 has_norm_map | 19:25 uv_rgb | 25:31 uv_norm | 31:37 uv_mr
     if scene.n_mesh_tris:
         def mesh_attrs(mi, bu, bv):
-            attr = jnp.take(scene.mt_attr, mi, axis=0)  # (T, 48)
-            a = lambda j: attr[:, j]
-            mt_const_norm = Vec3(a(0), a(1), a(2))
-            if scene.any_textured:
-                # descriptors ride bitcast in attr cols 38:47 (see
-                # models/scene.py) — saves the second row gather
-                desc = jax.lax.bitcast_convert_type(attr[:, 38:47], jnp.int32)
-                b0 = 1.0 - bu - bv
-
-                def interp(base):
-                    # barycentric uv (mesh/triangle.rs:228-237)
-                    uu = b0 * a(base) + bu * a(base + 2) + bv * a(base + 4)
-                    vv = b0 * a(base + 1) + bu * a(base + 3) + bv * a(base + 5)
-                    return uu, vv
-
-                def fetch(d0, uu, vv):
-                    # nearest-neighbor texel fetch (uv_image.rs:10-23);
-                    # the pool stays FLAT — an (T, 3) view would be
-                    # (8,128)-tiled in HBM, padding the minor dim 42x
-                    off, wid, hei = desc[:, d0], desc[:, d0 + 1], desc[:, d0 + 2]
-                    wf = wid.astype(jnp.float32)
-                    hf = hei.astype(jnp.float32)
-                    px = jnp.clip(uu * wf, 0.0, jnp.maximum(wf - 1.0, 0.0)).astype(jnp.int32)
-                    py = jnp.clip(vv * hf, 0.0, jnp.maximum(hf - 1.0, 0.0)).astype(jnp.int32)
-                    ok = wid > 0
-                    base3 = jnp.where(ok, off + 3 * (px + py * wid), 0)
-                    z = jnp.float32(0.0)
-                    return ok, Vec3(
-                        jnp.where(ok, jnp.take(scene.tex_pool, base3, mode="clip"), z),
-                        jnp.where(ok, jnp.take(scene.tex_pool, base3 + 1, mode="clip"), z),
-                        jnp.where(ok, jnp.take(scene.tex_pool, base3 + 2, mode="clip"), z),
-                    )
-
-                # raw [0,1] texel used as the tangent-space vector —
-                # parity with mesh/triangle.rs:149-151 (no 2x-1 remap)
-                uvn_u, uvn_v = interp(25)
-                _, ntexel = fetch(3, uvn_u, uvn_v)
-                mx = a(3) * ntexel.x + a(4) * ntexel.y + a(5) * ntexel.z
-                my = a(6) * ntexel.x + a(7) * ntexel.y + a(8) * ntexel.z
-                mz = a(9) * ntexel.x + a(10) * ntexel.y + a(11) * ntexel.z
-                mapped = v3.normalize(Vec3(mx, my, mz) * a(12), eps=1e-20)
-                mt_norm = v3.where(a(18) > 0.5, mapped, mt_const_norm)
-
-                uvr_u, uvr_v = interp(19)
-                has_rt, rtexel = fetch(0, uvr_u, uvr_v)
-                one_t = jnp.ones_like(bu)
-                texmul = v3.where(has_rt, rtexel, Vec3(one_t, one_t, one_t))
-                mt_rgb = Vec3(a(13), a(14), a(15)) * texmul
-
-                uvm_u, uvm_v = interp(31)
-                has_mt_, mtexel = fetch(6, uvm_u, uvm_v)
-                # metal scales the BLUE channel, rough the GREEN
-                # (mesh/triangle.rs:195-197 == trace.wgsl:1120-1123)
-                mt_metal = a(16) * jnp.where(has_mt_, mtexel.z, 1.0)
-                mt_rough = a(17) * jnp.where(has_mt_, mtexel.y, 1.0)
-            else:
-                mt_norm = mt_const_norm
-                mt_rgb = Vec3(a(13), a(14), a(15))
-                mt_metal = a(16)
-                mt_rough = a(17)
-            return (mt_norm.x, mt_norm.y, mt_norm.z,
-                    mt_rgb.x, mt_rgb.y, mt_rgb.z, mt_metal, mt_rough)
+            return mesh_attrs_dense(scene, mi, bu, bv)
 
         # mesh lanes only pay for the lanes that ARE one: the gathers
         # above (48-col attr row + texture fetches) dominate mesh-scene
@@ -618,33 +662,10 @@ def _shade_hit(scene, params, ro: Vec3, rd: Vec3, t, kind, idx, bu, bv, draws):
         n_lanes = t.shape[0]
         TS = 8192
 
-        def mesh_attrs_compacted():
-            K = n_lanes // 4
-            ranks = jnp.cumsum(is_mt.astype(jnp.int32))
-            count = ranks[-1]
-            dest = jnp.where(is_mt, ranks - 1, K)
-            lane_ids = jnp.arange(n_lanes, dtype=jnp.int32)
-
-            def compact():
-                id_buf = (
-                    jnp.zeros((K + 1,), jnp.int32).at[dest].set(lane_ids)[:K]
-                )
-                outs_c = mesh_attrs(
-                    jnp.take(mi_all, id_buf),
-                    jnp.take(bu, id_buf),
-                    jnp.take(bv, id_buf),
-                )
-                src = jnp.clip(ranks - 1, 0, K - 1)
-                return tuple(
-                    jnp.where(is_mt, jnp.take(o, src), 0.0) for o in outs_c
-                )
-
-            return jax.lax.cond(
-                count <= K, compact, lambda: mesh_attrs(mi_all, bu, bv)
-            )
-
         if (not params.differentiable) and n_lanes >= 4 * TS and n_lanes % 8 == 0:
-            (mnx, mny, mnz, mrr, mrg, mrb, mmet, mrgh) = mesh_attrs_compacted()
+            (mnx, mny, mnz, mrr, mrg, mrb, mmet, mrgh) = mesh_attrs_compacted(
+                scene, is_mt, mi_all, bu, bv
+            )
         elif (not params.differentiable) and n_lanes > TS and n_lanes % TS == 0:
             # mid-size: per-tile skip of mesh-free tiles
             n_t = n_lanes // TS

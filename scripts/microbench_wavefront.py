@@ -37,7 +37,15 @@ W, H = scheme.render_info.width, scheme.render_info.height
 scene = build_scene(scheme)
 cam = camera_to_arrays(build_camera(scheme.cam, W, H))
 rr = scheme.render_info.rad_info.russ_roull_info
-params = IntegratorParams(assured_depth=rr.assured_depth, max_thres=jnp.float32(rr.max_thres))
+# mesh_kernel=True = the product configuration on TPU (renderer.py);
+# the default XLA cluster path (lax.cond per cluster) measured 332 ms
+# per 128k-lane closest_hit and its full bounce step was too large to
+# compile through the axon tunnel (HTTP 413) — not the product path.
+params = IntegratorParams(
+    assured_depth=rr.assured_depth,
+    max_thres=jnp.float32(rr.max_thres),
+    mesh_kernel=jax.default_backend() != "cpu",
+)
 
 key = np.random.default_rng(0)
 x = jnp.asarray(key.integers(0, W, pool, dtype=np.int32))
