@@ -86,6 +86,43 @@ def make_wavefront_render_step(mesh: Mesh, width: int, height: int, pool: int):
     return jax.jit(sharded), n_devices
 
 
+def make_spp_sharded_step(mesh: Mesh, inner, static_kw: dict):
+    """Wrap ANY sample-batch driver `inner(*args, sample_base,
+    n_samples, **static_kw) -> (P, 3) sums` into an spp-sharded
+    multi-device step over a 1-D mesh: every device runs the driver
+    with the full (replicated) inputs and a DISJOINT contiguous sample
+    slice [sample_base + i*n, ...), and the per-device partial images
+    are psum'd over ICI — the product multi-chip render path
+    (renderer.py uses this for the fused, mesh-fused and wavefront
+    drivers when >1 device is attached).
+
+    The returned step(*args, sample_base, n_samples_per_device)
+    accumulates n_devices * n_samples_per_device total samples; every
+    (pixel, sample) stream is identical to the single-device render of
+    the same total range (the partition is by sample id), so images
+    agree with single-device up to f32 sum reassociation."""
+    axis = mesh.axis_names[0]
+    n_devices = mesh.shape[axis]
+
+    def step(*args):
+        *inner_args, sample_base, n_samples = args
+        i = jax.lax.axis_index(axis)
+        base = sample_base + i * n_samples
+        out = inner(*inner_args, sample_base=base, n_samples=n_samples, **static_kw)
+        return jax.lax.psum(out, axis)
+
+    def wrapped(*args):
+        # in_specs built per arity: everything replicated (P()); the
+        # sample partition happens via axis_index inside
+        sharded = shard_map(
+            step, mesh=mesh, in_specs=tuple(P() for _ in args),
+            out_specs=P(), check_vma=False,
+        )
+        return sharded(*args)
+
+    return jax.jit(wrapped), n_devices
+
+
 # scene leaves that carry geometry/appearance gradients; int/bool
 # tables (kinds, masks, texture descriptors) are non-differentiable.
 DIFF_SCENE_FIELDS = (

@@ -25,6 +25,7 @@ from ..models.camera import Camera, build_camera
 from ..models.config import Scheme
 from ..models.scene import SceneArrays, build_scene
 from ..ops import raygen, rng
+from . import fused_mesh as _fm
 from . import wavefront as _wf
 from .integrator import IntegratorParams, trace_paths
 from .target import RenderTarget
@@ -208,6 +209,13 @@ _jit_wavefront_step = jax.jit(
     _wf.wavefront_batch,
     static_argnames=("width", "height", "pool", "sort_lanes", "return_stats"),
 )
+_jit_mesh_fused_step = jax.jit(
+    _fm.sample_batch_mesh_fused,
+    static_argnames=(
+        "width", "height", "spl", "has_lens", "hints", "interpret",
+        "python_loop", "return_stats",
+    ),
+)
 
 
 def _params_from_scheme(scheme: Scheme, mode: str, differentiable: bool, mesh_chunk: int):
@@ -237,11 +245,27 @@ class Renderer:
         samples_per_dispatch: Optional[int] = None,
         use_fused: Optional[bool] = None,
         use_wavefront: Optional[bool] = None,
+        use_mesh_fused: Optional[bool] = None,
         hw_rng: Optional[bool] = None,
+        devices: Optional[Any] = None,
     ):
+        """devices: devices to render on (default: ALL attached
+        devices). With more than one, every dispatch spp-shards over a
+        1-D jax.sharding.Mesh — each device renders the full pixel set
+        for a disjoint contiguous sample-id slice and the partial
+        images psum over ICI (parallel/distributed.py). Sample ids are
+        partitioned exactly, so incremental/resumed renders stay
+        stream-exact."""
         self.scheme = scheme
         info = scheme.render_info
         self.width, self.height = info.width, info.height
+        self.devices = list(devices) if devices is not None else list(jax.devices())
+        self.n_devices = len(self.devices)
+        self._mesh1d = None
+        if self.n_devices > 1:
+            from jax.sharding import Mesh
+
+            self._mesh1d = Mesh(np.asarray(self.devices), ("spp",))
         # use_gpu in the scheme selects the reference backend; for us it
         # selects which reference SEMANTICS to reproduce (gpu default).
         self.mode = mode or ("gpu" if info.use_gpu else "cpu")
@@ -263,7 +287,21 @@ class Renderer:
         if use_fused is None:
             use_fused = tk.supports(self.scene, self.params) and jax.default_backend() != "cpu"
         self.use_fused = use_fused and tk.supports(self.scene, self.params)
-        self.spd = samples_per_dispatch or (4 if self.use_fused else 1)
+        # fused mesh bounce pipeline (ops/pallas/mesh_bounce_kernel):
+        # the default production path for mesh scenes on TPU
+        if use_mesh_fused is None:
+            use_mesh_fused = (
+                _fm.supports(self.scene, self.params)
+                and jax.default_backend() != "cpu"
+            )
+        self.use_mesh_fused = (
+            use_mesh_fused
+            and not self.use_fused
+            and _fm.supports(self.scene, self.params)
+        )
+        self.spd = samples_per_dispatch or (
+            4 if self.use_fused else (16 if self.use_mesh_fused else 1)
+        )
         # hardware-PRNG draws are a fused-kernel feature; resolve the
         # flag unconditionally so renderer.hw_rng is always readable
         if hw_rng is None:
@@ -342,6 +380,34 @@ class Renderer:
                 hw_rng=self.hw_rng,
             )
 
+        if self.use_mesh_fused:
+            # pixel-bound lane grid: every pixel once (tile order),
+            # padded so lanes fill (SUBLANES x 128) blocks; spl samples
+            # run per lane via in-kernel regeneration
+            unit = tk.SUBLANES * tk.LANES
+            padded_npix = -(-n_pix // unit) * unit
+            pix_order = np.concatenate(
+                [self._perm, np.full(padded_npix - n_pix, self._perm[-1], np.int64)]
+            )
+            rows = padded_npix // tk.LANES
+            self._mxs = jnp.asarray((pix_order % self.width).astype(np.int32).reshape(rows, tk.LANES))
+            self._mys = jnp.asarray((pix_order // self.width).astype(np.int32).reshape(rows, tk.LANES))
+            sph_t, ft_t = tk.pack_scene_tables(self.scene)
+            self._mtables = (jnp.asarray(sph_t), jnp.asarray(ft_t))
+            self._mhints = tk.scene_static_hints(
+                sph_t, ft_t, self.scene.n_spheres, self.scene.n_free_tris
+            )
+            self._mcam_vec = jnp.asarray(
+                tk.make_cam_vec(self.camera, float(scheme.render_info.rad_info.russ_roull_info.max_thres))
+            )
+            self._mstep = partial(
+                _jit_mesh_fused_step,
+                width=self.width, height=self.height,
+                spl=self.spd,
+                has_lens=self.camera.lens_r is not None,
+                hints=self._mhints,
+            )
+
         self._step = partial(
             _jit_step, width=self.width, height=self.height,
             samples_per_dispatch=1,
@@ -351,9 +417,16 @@ class Renderer:
         # default for every non-fused forward render it supports — the
         # masked bounce loop wastes most of its width on dead lanes
         if use_wavefront is None:
-            use_wavefront = not self.use_fused and _wf.supports(self.scene, self.params)
+            use_wavefront = (
+                not self.use_fused
+                and not self.use_mesh_fused
+                and _wf.supports(self.scene, self.params)
+            )
         self.use_wavefront = (
-            use_wavefront and not self.use_fused and _wf.supports(self.scene, self.params)
+            use_wavefront
+            and not self.use_fused
+            and not self.use_mesh_fused
+            and _wf.supports(self.scene, self.params)
         )
         if self.use_wavefront:
             self.wf_pool = min(1 << 17, -(-n_pix // 1024) * 1024)
@@ -363,6 +436,62 @@ class Renderer:
                 _jit_wavefront_step,
                 width=self.width, height=self.height, pool=self.wf_pool,
             )
+
+        # --- multi-device: spp-sharded wrapper around whichever driver
+        # is engaged (each device renders a disjoint sample slice of
+        # the full pixel set; one image psum per dispatch, over ICI) ---
+        if self._mesh1d is not None:
+            from ..parallel.distributed import make_spp_sharded_step
+
+            _w, _h = self.width, self.height
+            if self.use_fused:
+                _spd, _spl = self.spd, self._fspl
+                _hl, _hints, _hw = (
+                    self.camera.lens_r is not None, self._hints, self.hw_rng,
+                )
+
+                def _fin(tables, cam_vec, scene, params, xs2d, ys2d, rep2d,
+                         sample_base, n_samples):
+                    return sample_batch_fused(
+                        tables, cam_vec, scene, params, _w, _h,
+                        xs2d, ys2d, rep2d, sample_base, n_samples,
+                        samples_per_dispatch=_spd, samples_per_lane=_spl,
+                        has_lens=_hl, hints=_hints, hw_rng=_hw,
+                    )
+
+                self._multi_step, _ = make_spp_sharded_step(self._mesh1d, _fin, {})
+            elif self.use_mesh_fused:
+                _spl = self.spd
+                _hl, _hints = self.camera.lens_r is not None, self._mhints
+
+                def _min(tables, cam_vec, scene, cam, params, xs2d, ys2d,
+                         sample_base, n_samples):
+                    return _fm.sample_batch_mesh_fused(
+                        tables, cam_vec, scene, cam, params, _w, _h,
+                        xs2d, ys2d, sample_base, n_samples,
+                        spl=_spl, has_lens=_hl, hints=_hints,
+                    )
+
+                self._multi_step, _ = make_spp_sharded_step(self._mesh1d, _min, {})
+            elif self.use_wavefront:
+                _pool = self.wf_pool
+
+                def _win(scene, cam, params, xs_tab, ys_tab, sample_base, n_samples):
+                    return _wf.wavefront_batch(
+                        scene, cam, params, xs_tab, ys_tab,
+                        sample_base, n_samples, width=_w, height=_h, pool=_pool,
+                    )
+
+                self._multi_step, _ = make_spp_sharded_step(self._mesh1d, _win, {})
+            else:
+
+                def _pin(scene, cam, params, x_idx, y_idx, sample_base, n_samples):
+                    return sample_batch(
+                        scene, cam, params, _w, _h, x_idx, y_idx,
+                        sample_base, n_samples,
+                    )
+
+                self._multi_step, _ = make_spp_sharded_step(self._mesh1d, _pin, {})
 
     def render(
         self,
@@ -397,7 +526,8 @@ class Renderer:
             # occupancy lever.
             # cap overridable for faster boxes / bigger watchdog budgets
             cap = int(os.environ.get(
-                "RTPU_MAX_DISPATCH_SPP", "64" if self.use_wavefront else "2"
+                "RTPU_MAX_DISPATCH_SPP",
+                "64" if (self.use_wavefront or self.use_mesh_fused) else "2",
             ))
             b = min(b, cap)
 
@@ -427,54 +557,106 @@ class Renderer:
         while rendered < total:
             n = min(b, total - rendered)
             base = self.target.count  # sample ids continue across calls
+            nd = self.n_devices
             if self.use_fused:
-                n_f = max(self.spd, (n // self.spd) * self.spd)
-                out = self._fstep(
-                    self._tables,
-                    self._cam_vec,
-                    scene_dev,
-                    self.params,
-                    xs2d=self._fxs,
-                    ys2d=self._fys,
-                    rep2d=self._frep,
-                    sample_base=jnp.int32(base),
-                    n_samples=jnp.int32(n_f),
-                )
+                unit = self.spd * nd
+                n_f = max(unit, (n // unit) * unit)
+                if self._mesh1d is not None:
+                    out = self._multi_step(
+                        self._tables, self._cam_vec, scene_dev, self.params,
+                        self._fxs, self._fys, self._frep,
+                        jnp.int32(base), jnp.int32(n_f // nd),
+                    )
+                else:
+                    out = self._fstep(
+                        self._tables,
+                        self._cam_vec,
+                        scene_dev,
+                        self.params,
+                        xs2d=self._fxs,
+                        ys2d=self._fys,
+                        rep2d=self._frep,
+                        sample_base=jnp.int32(base),
+                        n_samples=jnp.int32(n_f),
+                    )
+                res = np.empty((n_pix, 3), np.float32)
+                res[self._perm] = np.asarray(out)[:n_pix]
+                self.target.add(res, n_f)
+                n = n_f
+            elif self.use_mesh_fused:
+                unit = self.spd * nd
+                n_f = max(unit, (n // unit) * unit)
+                if self._mesh1d is not None:
+                    out = self._multi_step(
+                        self._mtables, self._mcam_vec, scene_dev,
+                        self.cam_arrays, self.params, self._mxs, self._mys,
+                        jnp.int32(base), jnp.int32(n_f // nd),
+                    )
+                else:
+                    out = self._mstep(
+                        self._mtables,
+                        self._mcam_vec,
+                        scene_dev,
+                        self.cam_arrays,
+                        self.params,
+                        xs2d=self._mxs,
+                        ys2d=self._mys,
+                        sample_base=jnp.int32(base),
+                        n_samples=jnp.int32(n_f),
+                    )
                 res = np.empty((n_pix, 3), np.float32)
                 res[self._perm] = np.asarray(out)[:n_pix]
                 self.target.add(res, n_f)
                 n = n_f
             elif self.use_wavefront:
-                out = self._wstep(
-                    scene_dev,
-                    self.cam_arrays,
-                    self.params,
-                    self._wxs,
-                    self._wys,
-                    sample_base=jnp.int32(base),
-                    n_samples=jnp.int32(n),
-                )
-                # wavefront accumulates by natural flat pixel id
-                self.target.add(np.asarray(out), n)
-            else:
-                tile_sums = []
-                for ti in range(self.n_tiles):
-                    out = self._step(
+                n_w = max(nd, (n // nd) * nd)
+                if self._mesh1d is not None:
+                    out = self._multi_step(
+                        scene_dev, self.cam_arrays, self.params,
+                        self._wxs, self._wys,
+                        jnp.int32(base), jnp.int32(n_w // nd),
+                    )
+                else:
+                    out = self._wstep(
                         scene_dev,
                         self.cam_arrays,
                         self.params,
-                        x_idx=jnp.asarray(self._x_idx[ti]),
-                        y_idx=jnp.asarray(self._y_idx[ti]),
+                        self._wxs,
+                        self._wys,
                         sample_base=jnp.int32(base),
-                        n_samples=jnp.int32(n),
+                        n_samples=jnp.int32(n_w),
                     )
+                # wavefront accumulates by natural flat pixel id
+                self.target.add(np.asarray(out), n_w)
+                n = n_w
+            else:
+                n_w = max(nd, (n // nd) * nd) if nd > 1 else n
+                tile_sums = []
+                for ti in range(self.n_tiles):
+                    if self._mesh1d is not None:
+                        out = self._multi_step(
+                            scene_dev, self.cam_arrays, self.params,
+                            jnp.asarray(self._x_idx[ti]), jnp.asarray(self._y_idx[ti]),
+                            jnp.int32(base), jnp.int32(n_w // nd),
+                        )
+                    else:
+                        out = self._step(
+                            scene_dev,
+                            self.cam_arrays,
+                            self.params,
+                            x_idx=jnp.asarray(self._x_idx[ti]),
+                            y_idx=jnp.asarray(self._y_idx[ti]),
+                            sample_base=jnp.int32(base),
+                            n_samples=jnp.int32(n_w),
+                        )
                     tile_sums.append(np.asarray(out))
                 flat = np.concatenate(tile_sums, axis=0)
                 if self._pad:
                     flat = flat[:n_pix]
                 res = np.empty((n_pix, 3), np.float32)
                 res[self._perm] = flat
-                self.target.add(res, n)
+                self.target.add(res, n_w)
+                n = n_w
             rendered += n
             meter.add(n * n_pix)
             if bar is not None:

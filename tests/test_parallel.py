@@ -143,3 +143,53 @@ def test_wavefront_render_step_matches_single(setup):
                         jnp.int32(2 * n_dev), width=W, height=H, pool=1024)
     )
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_renderer_multi_device_matches_single():
+    """The PRODUCT multi-device path: Renderer(devices=all 8) spp-shards
+    every dispatch via parallel.make_spp_sharded_step and must agree
+    with the single-device Renderer over the same total sample range
+    (identical per-(pixel, sample) streams; psum order is the only
+    difference)."""
+    from raytrace_tpu.render.renderer import Renderer
+
+    scheme = _tiny_scheme()
+    r1 = Renderer(scheme, devices=jax.devices()[:1])
+    assert r1.n_devices == 1 and r1._mesh1d is None
+    img1 = r1.render(samples=8, batch=8, progress=False)
+
+    r8 = Renderer(scheme, devices=jax.devices())
+    assert r8.n_devices == 8 and r8._mesh1d is not None
+    img8 = r8.render(samples=8, batch=8, progress=False)
+
+    np.testing.assert_allclose(img8, img1, rtol=2e-5, atol=2e-5)
+
+
+def test_spp_sharded_step_generic():
+    """make_spp_sharded_step with the plain sample-batch driver: the
+    8-device psum equals the sequential sum of the 8 sample slices."""
+    from raytrace_tpu.parallel.distributed import make_spp_sharded_step
+    from jax.sharding import Mesh
+
+    scheme = _tiny_scheme()
+    scene = build_scene(scheme)
+    cam = camera_to_arrays(build_camera(scheme.cam, W, H))
+    params = IntegratorParams(assured_depth=2, max_bounces=6)
+    flat = np.arange(W * H, dtype=np.int32)
+    x_idx = jnp.asarray(flat % W)
+    y_idx = jnp.asarray(flat // W)
+
+    def inner(scene, cam, params, x_idx, y_idx, sample_base, n_samples):
+        return sample_batch(scene, cam, params, W, H, x_idx, y_idx, sample_base, n_samples)
+
+    mesh = Mesh(np.asarray(jax.devices()), ("spp",))
+    step, n_dev = make_spp_sharded_step(mesh, inner, {})
+    assert n_dev == 8
+    out = np.asarray(step(scene, cam, params, x_idx, y_idx, jnp.int32(0), jnp.int32(1)))
+
+    ref = np.zeros((W * H, 3), np.float32)
+    for d in range(8):
+        ref = ref + np.asarray(
+            sample_batch(scene, cam, params, W, H, x_idx, y_idx, jnp.int32(d), jnp.int32(1))
+        )
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)

@@ -237,16 +237,22 @@ def test_checkpoint_resume_exact(tmp_path):
     from raytrace_tpu.utils import checkpoint as ckpt
 
     scheme = _scheme()
+    # pin to one device: with all (8 virtual) devices the renderer
+    # spp-shards and rounds the per-call sample count up to a device
+    # multiple (multi-device resume is covered in test_parallel.py)
+    import jax
 
-    full = Renderer(scheme)
+    dev = jax.devices()[:1]
+
+    full = Renderer(scheme, devices=dev)
     full.render(samples=4, batch=2, progress=False)
 
-    first = Renderer(scheme)
+    first = Renderer(scheme, devices=dev)
     first.render(samples=2, batch=2, progress=False)
     path = str(tmp_path / "ck.npz")
     ckpt.save(path, first.target)
 
-    resumed = Renderer(scheme)
+    resumed = Renderer(scheme, devices=dev)
     resumed.target = ckpt.load(path)
     assert resumed.target.count == 2
     resumed.render(samples=2, batch=2, progress=False)
@@ -287,3 +293,24 @@ def test_async_update_hook():
     r2 = Renderer(scheme)
     with pytest.raises(RuntimeError, match="boom"):
         r2.render(samples=2, batch=1, update_hook=bad_hook, progress=False)
+
+
+def test_encode_mp4_or_fallback(tmp_path):
+    """encode_mp4 produces a playable container on BOTH encoder-present
+    and encoder-absent machines: mp4 (ftyp box) when an imageio ffmpeg
+    backend exists, else the self-contained MJPEG-AVI (RIFF) next to
+    the requested path (reference: main.rs:58-97 encodes H.264/mp4)."""
+    from raytrace_tpu.utils.video import encode_mp4
+
+    frames = [
+        (np.full((32, 48, 3), 40 * i, np.uint8)) for i in range(1, 4)
+    ]
+    want = str(tmp_path / "anim.mp4")
+    got = encode_mp4(want, frames, fps=10)
+    assert os.path.exists(got) and os.path.getsize(got) > 0
+    head = open(got, "rb").read(12)
+    if got.endswith(".mp4"):
+        assert head[4:8] == b"ftyp", head
+    else:
+        assert got.endswith(".avi")
+        assert head[:4] == b"RIFF" and head[8:12] == b"AVI ", head
