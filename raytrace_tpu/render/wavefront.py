@@ -34,8 +34,12 @@ kernels skip whole blocks.
 
 Reference behavior covered: the gpu-semantics radiance loop
 (trace.wgsl:282-315) and the cpu-semantics one (radiance.rs:20-86)
-minus direct-light sampling (its one-bounce-lookahead state is tied to
-the fixed-loop shape; the classic driver handles dls).
+including direct-light sampling: the one-bounce-lookahead DLS state
+(integrator._bounce_step's `dls` dict — the diffuse hit whose emitter
+sum resolves on the NEXT bounce, radiance.rs:89-120) rides in the lane
+state; regenerated lanes clear it, and a pending term is always
+resolved before its lane can retire (the resolving _bounce_step is the
+one that kills the lane).
 """
 from __future__ import annotations
 
@@ -51,9 +55,7 @@ from .integrator import IntegratorParams, _bounce_step, sample_cubemap
 
 
 def supports(scene, params: IntegratorParams) -> bool:
-    return not params.differentiable and not (
-        params.dir_light_samp and params.mode == "cpu" and scene.n_spheres
-    )
+    return not params.differentiable
 
 
 def wavefront_batch(
@@ -80,6 +82,9 @@ def wavefront_batch(
     n_pix = xs_tab.shape[0]
     n_work = n_pix * n_samples
     track_miss = scene.has_cubemap and not params.debug_single_ray
+    use_dls = bool(
+        params.dir_light_samp and params.mode == "cpu" and scene.n_spheres
+    )
     max_b = 1 if params.debug_single_ray else params.max_bounces
 
     zeros = jnp.zeros((pool,), jnp.float32)
@@ -136,6 +141,16 @@ def wavefront_batch(
         if track_miss:
             out["miss_d"] = v3.where(valid, Vec3(zeros, zeros, zeros), st["miss_d"])
             out["miss_w"] = v3.where(valid, Vec3(zeros, zeros, zeros), st["miss_w"])
+        if use_dls:
+            # fresh work units must not inherit a pending DLS term
+            d = st["dls"]
+            out["dls"] = dict(
+                active=jnp.where(valid, False, d["active"]),
+                pos=d["pos"],
+                norm=d["norm"],
+                ci=d["ci"],
+                self_idx=d["self_idx"],
+            )
         return out, new_q
 
     st0 = dict(
@@ -152,6 +167,14 @@ def wavefront_batch(
     if track_miss:
         st0["miss_d"] = Vec3(zeros, zeros, zeros)
         st0["miss_w"] = Vec3(zeros, zeros, zeros)
+    if use_dls:
+        st0["dls"] = dict(
+            active=jnp.zeros((pool,), bool),
+            pos=Vec3(zeros, zeros, zeros),
+            norm=Vec3(zeros, zeros, zeros),
+            ci=Vec3(ones, ones, ones),
+            self_idx=jnp.full((pool,), -1, jnp.int32),
+        )
     st0, q0 = assign(st0, jnp.int32(0))
 
     acc0 = tuple(jnp.zeros((n_pix + 1,), jnp.float32) for _ in range(3))
@@ -170,6 +193,11 @@ def wavefront_batch(
         st = _bounce_step(scene, params, st)
         # per-lane bounce cap (trace_paths caps via the loop bound)
         st["active"] = st["active"] & (st["bounce"] < max_b)
+        if use_dls:
+            # a cap-killed lane's just-set pending DLS must die with it
+            # (trace_paths drops pendings at loop exit); lanes killed
+            # inside _bounce_step already cleared theirs
+            st["dls"]["active"] = st["dls"]["active"] & st["active"]
         term = was_active & ~st["active"]
 
         # resolve the deferred cubemap term at retirement (a path
