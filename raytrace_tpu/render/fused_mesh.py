@@ -103,20 +103,29 @@ def _mesh_shade(scene, cam, width, height, xs, ys, samp0, spl,
     survive = pend & ~rr_kill
     depth2 = jnp.where(survive, depth + 1.0, depth)
     alive = survive & (depth2 < float(max_bounces))
-    done = pend & ~alive
-    regen = done & (sk + 1.0 < float(spl))
-    sk = sk + jnp.where(regen, 1.0, 0.0)
-    samp_new = samp0 + sk.astype(jnp.int32)
-    st_new = rng.init_state(xs, ys, width, height, samp_new)
-    st_new, ro_n, rd_n = raygen.generate(st_new, xs, ys, cam)
+    if spl > 1:
+        done = pend & ~alive
+        regen = done & (sk + 1.0 < float(spl))
+        sk = sk + jnp.where(regen, 1.0, 0.0)
+        samp_new = samp0 + sk.astype(jnp.int32)
+        st_new = rng.init_state(xs, ys, width, height, samp_new)
+        st_new, ro_n, rd_n = raygen.generate(st_new, xs, ys, cam)
 
-    state = jnp.where(pend, jnp.where(regen, st_new, st8), state)
-    ro = v3.where(pend, v3.where(regen, ro_n, pos), ro)
-    rd = v3.where(pend, v3.where(regen, rd_n, new_d), rd)
-    ci = v3.where(regen, Vec3.full_like(cir, 1.0, 1.0, 1.0), ci)
-    inten = jnp.where(regen, 1.0, inten)
-    depth = jnp.where(pend, jnp.where(regen, 0.0, depth2), depth)
-    flag = jnp.where(pend, jnp.where(alive | regen, 1.0, 0.0), flag)
+        state = jnp.where(pend, jnp.where(regen, st_new, st8), state)
+        ro = v3.where(pend, v3.where(regen, ro_n, pos), ro)
+        rd = v3.where(pend, v3.where(regen, rd_n, new_d), rd)
+        ci = v3.where(regen, Vec3.full_like(cir, 1.0, 1.0, 1.0), ci)
+        inten = jnp.where(regen, 1.0, inten)
+        depth = jnp.where(pend, jnp.where(regen, 0.0, depth2), depth)
+        flag = jnp.where(pend, jnp.where(alive | regen, 1.0, 0.0), flag)
+    else:
+        # queue-refilled mode (wavefront_mesh_fused): the driver's
+        # assign() regenerates; ended lanes just retire
+        state = jnp.where(pend, st8, state)
+        ro = v3.where(pend, pos, ro)
+        rd = v3.where(pend, new_d, rd)
+        depth = jnp.where(pend, depth2, depth)
+        flag = jnp.where(pend, jnp.where(alive, 1.0, 0.0), flag)
 
     return (flag, sk, state, ro.x, ro.y, ro.z, rd.x, rd.y, rd.z,
             ci.x, ci.y, ci.z, inten, L.x, L.y, L.z, depth)
@@ -233,4 +242,318 @@ def sample_batch_mesh_fused(
     img = jnp.stack(acc, axis=-1)
     if return_stats:
         return img, {"iterations": stats[0], "lane_bounces": stats[1]}
+    return img
+
+
+def _pend_shade_compact(scene, cam, width, height, assured, max_bounces,
+                        max_thres, carry, gid, tt, bu, bv, cw: int):
+    """_mesh_shade on a COMPACTED buffer of the mesh-pending lanes.
+
+    The dense stage pays 8 RNG draws + the full PBR/RR update for
+    every pool lane when typically only ~10-20% are pending (the
+    measured reason the first hybrid cut did not beat the classic
+    wavefront driver — BENCH_NOTES round 2). Here: prefix-sum ranks
+    scatter the pending lane ids into a (cw,) slot buffer, the whole
+    shade runs at cw width (the attr/texel gathers inside were already
+    per-lane gathers, so compaction shrinks them too), and 15 arrays
+    scatter back. Falls back to the dense stage via lax.cond when more
+    than cw lanes are pending — correctness never depends on the
+    occupancy estimate."""
+    pool = carry[0].shape[0]
+    flag = carry[0]
+    pend = flag > 1.5
+    ranks = jnp.cumsum(pend.astype(jnp.int32)) - 1
+    cnt = ranks[-1] + 1
+
+    def dense(args):
+        carry, gid, tt, bu, bv = args
+        iz = jnp.zeros((pool,), jnp.int32)
+        return _mesh_shade(scene, cam, width, height, iz, iz, iz, 1,
+                           assured, max_bounces, max_thres, carry,
+                           gid, tt, bu, bv)
+
+    def compact(args):
+        carry, gid, tt, bu, bv = args
+        slot = jnp.where(pend & (ranks < cw), ranks, cw)
+        lane = (
+            jnp.zeros((cw + 1,), jnp.int32)
+            .at[slot]
+            .set(jnp.arange(pool, dtype=jnp.int32), mode="drop")[:cw]
+        )
+        in_slot = jnp.arange(cw, dtype=jnp.int32) < cnt
+        g = lambda a: jnp.take(a, lane, axis=0)
+        carry_c = tuple(g(a) for a in carry)
+        # unused slots gathered lane 0's state — mask their flag so the
+        # shade treats them as non-pending
+        carry_c = (jnp.where(in_slot, carry_c[0], 0.0),) + carry_c[1:]
+        iz = jnp.zeros((cw,), jnp.int32)
+        out_c = _mesh_shade(scene, cam, width, height, iz, iz, iz, 1,
+                            assured, max_bounces, max_thres, carry_c,
+                            g(gid), g(tt), g(bu), g(bv))
+        dest = jnp.where(in_slot, lane, pool)  # pool = discard (drop)
+        out = list(carry)
+        # indices _mesh_shade can change with spl=1: flag, state, ray,
+        # throughput, radiance, depth (sk=1 and inten=12 are untouched)
+        for k in (0, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 13, 14, 15, 16):
+            out[k] = out[k].at[dest].set(out_c[k], mode="drop")
+        return tuple(out)
+
+    return jax.lax.cond(cnt > cw, dense, compact, (carry, gid, tt, bu, bv))
+
+
+def wavefront_mesh_fused(
+    tables, cam_vec, scene, cam, params, width, height, xs_tab, ys_tab,
+    sample_base, n_samples, pool: int, has_lens: bool = False, hints=None,
+    interpret: bool = False, python_loop: bool = False,
+    return_stats: bool = False, ablate: str = "",
+):
+    """Queue-refilled (wavefront) driver over the fused mesh bounce
+    kernel — the round-2 production path for mesh scenes.
+
+    Why this shape: the pixel-bound driver above pays its XLA stage
+    (sky gather + pend shade + regen) DENSE over every pixel-lane each
+    iteration, and with per-pixel sample counts the drain is gated by
+    the slowest pixel (measured 0.36 Mpaths/s on biplane). The classic
+    wavefront driver (render/wavefront.py) keeps a small ~full-occupancy
+    pool but runs closest-hit + ALL shading + 8 RNG draws as dense XLA
+    every bounce (43 ms per 128k-lane iteration, mesh kernel 1-4%).
+    This driver composes the two: a fixed POOL of lanes refilled from a
+    work queue (occupancy), with the ENTIRE bounce for sphere/free-tri/
+    miss lanes inside one pallas_call (mesh_bounce_kernel, spl=1). The
+    per-iteration XLA residue is exactly what Mosaic cannot do:
+      - the deferred sky texel gather for lanes that missed (they
+        retire in-kernel the same iteration),
+      - the compacted attribute/texel gathers + PBR shade for lanes
+        whose nearest hit is a mesh triangle (_mesh_shade, spl=1),
+      - ONE (n_pix+1, 3) scatter-add of retiring lanes' radiance,
+      - the queue refill (one cumsum + two table gathers + raygen).
+
+    Work units are handed out sample-major over the tile-ordered pixel
+    permutation (spatial coherence for the kernel's per-block cluster
+    culling). Radiance per (pixel, sample) is bit-identical to the XLA
+    integrator in gpu mode (same draws, same stream order — the
+    cross-check in tests/test_mesh_fused.py); only accumulation order
+    differs (scatter-add), so images agree to f32 reassociation.
+
+    Reference parity: the gpu radiance loop trace.wgsl:282-323; the
+    queue is the TPU-native stand-in for the reference GPU's
+    per-thread persistent loop over its sample grid.
+    """
+    from ..ops.pallas import trace_kernel as tk
+    from ..ops.pallas.mesh_bounce_kernel import bounce_tiles
+
+    ab = set(filter(None, ablate.split(",")))  # profiling stubs, see
+    # wavefront.wavefront_batch: "sky" / "scatter" / "assign" / "shade"
+    sph_table, ft_table = tables
+    hints = hints if hints is not None else tk._PERMISSIVE
+    n_pix = xs_tab.shape[0]
+    n_work = n_pix * n_samples
+    assert pool % 1024 == 0, pool
+    rows = pool // 128
+    assured = params.assured_depth
+    max_b = params.max_bounces
+    max_thres = params.max_thres
+
+    r2 = lambda a: a.reshape(rows, 128)
+    fl = lambda a: a.reshape(pool)
+    zero = jnp.zeros((pool,), jnp.float32)
+    izero = jnp.zeros((pool,), jnp.int32)
+
+    def assign(carry, xs, ys, samp, pix, q):
+        """Hand the next work units to every retired lane (rank =
+        prefix sum, sample-major ids). Refilled lanes are marked
+        flag = 3: the KERNEL raygens them from (x, y, sample) next
+        call (bit-identical ops — mesh_bounce_kernel.start_sample IS
+        ops.rng.init_state + ops.raygen.generate), so this stage is
+        just the cumsum, two pixel-table gathers and cheap selects."""
+        flag = carry[0]
+        need = flag < 0.5
+        ranks = jnp.cumsum(need.astype(jnp.int32))
+        ids = q + ranks - 1
+        valid = need & (ids < n_work)
+        new_q = jnp.minimum(q + ranks[-1], n_work)
+        ids_c = jnp.clip(ids, 0, jnp.maximum(n_work - 1, 0))
+        pix_pos = ids_c % n_pix
+        samp_new = sample_base + ids_c // n_pix
+        x = jnp.take(xs_tab, pix_pos)
+        y = jnp.take(ys_tab, pix_pos)
+        (flag, sk, state, ox, oy, oz, dx, dy, dz,
+         cir, cig, cib, inten, lr, lg, lb, depth) = carry
+        one_v = jnp.ones((pool,), jnp.float32)
+        carry = (
+            jnp.where(valid, 3.0, flag),
+            jnp.where(valid, 0.0, sk),
+            state, ox, oy, oz, dx, dy, dz,  # kernel raygen overwrites
+            jnp.where(valid, one_v, cir), jnp.where(valid, one_v, cig),
+            jnp.where(valid, one_v, cib), jnp.where(valid, one_v, inten),
+            jnp.where(valid, 0.0, lr), jnp.where(valid, 0.0, lg),
+            jnp.where(valid, 0.0, lb), jnp.where(valid, 0.0, depth),
+        )
+        xs = jnp.where(valid, x, xs)
+        ys = jnp.where(valid, y, ys)
+        samp = jnp.where(valid, samp_new, samp)
+        pix = jnp.where(valid, y * width + x, pix)
+        return carry, xs, ys, samp, pix, new_q
+
+    carry0 = (zero,) * 2 + (jnp.zeros((pool,), jnp.uint32),) + (zero,) * 14
+    carry0, xs0, ys0, samp0, pix0, q0 = assign(
+        carry0, izero, izero, izero, izero, jnp.int32(0)
+    )
+    acc0 = jnp.zeros((n_pix + 1, 3), jnp.float32)
+
+    def cond(c):
+        return jnp.any(c[3][0] > 0.5)
+
+    def body(c):
+        q, stats, acc, carry, xs, ys, samp, pix = c
+        was_active = carry[0] > 0.5
+        stats = (stats[0] + 1, stats[1] + jnp.sum(was_active.astype(jnp.int32)),
+                 stats[2], stats[3])
+        carry2d, outs = bounce_tiles(
+            r2(xs), r2(ys), r2(samp), tuple(r2(a) for a in carry),
+            sph_table, ft_table, cam_vec,
+            scene.mk_bounds, scene.mk_sbounds, scene.mk_tri,
+            n_sph=scene.n_spheres, n_ft=scene.n_free_tris,
+            n_clusters=scene.mk_bounds.shape[0],
+            width=scene.cl_idx.shape[1],
+            has_lens=has_lens,
+            assured=assured, max_bounces=max_b, spl=1, hints=hints,
+            interpret=interpret,
+        )
+        carry = [fl(a) for a in carry2d]
+        gid, tt, bu, bv, mdx, mdy, mdz, mwr, mwg, mwb = (fl(a) for a in outs)
+
+        n_pend = jnp.sum((carry[0] > 1.5).astype(jnp.int32))
+        stats = (stats[0], stats[1], stats[2] + n_pend,
+                 jnp.maximum(stats[3], n_pend))
+        if "shade" in ab:
+            # stub the mesh-pend XLA stage: pend lanes just retire
+            carry[0] = jnp.where(carry[0] > 1.5, 0.0, carry[0])
+            carry = tuple(carry)
+        elif "dense_shade" in ab:
+            carry = _mesh_shade(
+                scene, cam, width, height, xs, ys, samp, 1,
+                assured, max_b, max_thres, tuple(carry), gid, tt, bu, bv,
+            )
+        else:
+            carry = _pend_shade_compact(
+                scene, cam, width, height, assured, max_b, max_thres,
+                tuple(carry), gid, tt, bu, bv, cw=pool // 2,
+            )
+
+        # ---- retirement: deferred sky resolve + radiance scatter,
+        # COMPACTED over one term-rank prefix sum. In queue mode a
+        # missed lane always retires the same iteration (spl=1, no
+        # in-kernel regen), so the sky term of the dense formulation
+        # folds entirely into the retirement stage: the big texel-pool
+        # gather and the (n_pix+1, 3) scatter-add both shrink to the
+        # retiring fraction. Dense fallback when more than cw2 lanes
+        # retire at once (early full-pool iterations).
+        term = was_active & (carry[0] < 0.5)
+        do_sky = scene.has_cubemap and "sky" not in ab
+        Lr, Lg, Lb = carry[13], carry[14], carry[15]
+
+        def sky_add(m_, md_, mw_, L3):
+            sky = sample_cubemap(
+                scene, v3.where(m_, md_, Vec3.full_like(md_.x, 1.0, 0.0, 0.0))
+            )
+            return (
+                L3[0] + jnp.where(m_, mw_[0] * sky.x, 0.0),
+                L3[1] + jnp.where(m_, mw_[1] * sky.y, 0.0),
+                L3[2] + jnp.where(m_, mw_[2] * sky.z, 0.0),
+            )
+
+        if "scatter" in ab:
+            if do_sky:
+                md = Vec3(mdx, mdy, mdz)
+                missed = (md.x != 0.0) | (md.y != 0.0) | (md.z != 0.0)
+                Lr, Lg, Lb = sky_add(missed, md, (mwr, mwg, mwb), (Lr, Lg, Lb))
+            acc = acc.at[0].add(
+                jnp.stack([jnp.sum(jnp.where(term, Lr, 0.0)),
+                           jnp.sum(jnp.where(term, Lg, 0.0)),
+                           jnp.sum(jnp.where(term, Lb, 0.0))])
+            )
+        else:
+            cw2 = pool // 2
+            tranks = jnp.cumsum(term.astype(jnp.int32)) - 1
+            tcnt = tranks[-1] + 1
+
+            def retire_dense(acc):
+                lr, lg, lb = Lr, Lg, Lb
+                if do_sky:
+                    md = Vec3(mdx, mdy, mdz)
+                    missed = (md.x != 0.0) | (md.y != 0.0) | (md.z != 0.0)
+                    lr, lg, lb = sky_add(missed, md, (mwr, mwg, mwb), (lr, lg, lb))
+                idx = jnp.where(term, pix, n_pix)  # row n_pix = discard
+                vals = jnp.stack(
+                    [jnp.where(term, lr, 0.0),
+                     jnp.where(term, lg, 0.0),
+                     jnp.where(term, lb, 0.0)], axis=-1,
+                )
+                return acc.at[idx].add(vals)
+
+            def retire_compact(acc):
+                slot = jnp.where(term & (tranks < cw2), tranks, cw2)
+                lane = (
+                    jnp.zeros((cw2 + 1,), jnp.int32)
+                    .at[slot]
+                    .set(jnp.arange(pool, dtype=jnp.int32), mode="drop")[:cw2]
+                )
+                in_slot = jnp.arange(cw2, dtype=jnp.int32) < tcnt
+                g = lambda a: jnp.take(a, lane, axis=0)
+                lr, lg, lb = g(Lr), g(Lg), g(Lb)
+                if do_sky:
+                    md = Vec3(g(mdx), g(mdy), g(mdz))
+                    missed = in_slot & (
+                        (md.x != 0.0) | (md.y != 0.0) | (md.z != 0.0)
+                    )
+                    lr, lg, lb = sky_add(
+                        missed, md, (g(mwr), g(mwg), g(mwb)), (lr, lg, lb)
+                    )
+                idx = jnp.where(in_slot, g(pix), n_pix)
+                vals = jnp.stack(
+                    [jnp.where(in_slot, lr, 0.0),
+                     jnp.where(in_slot, lg, 0.0),
+                     jnp.where(in_slot, lb, 0.0)], axis=-1,
+                )
+                return acc.at[idx].add(vals)
+
+            acc = jax.lax.cond(tcnt > cw2, retire_dense, retire_compact, acc)
+
+        if "assign" in ab:
+            flag = carry[0]
+            need = flag < 0.5
+            n_need = jnp.sum(need.astype(jnp.int32))
+            valid = need & (q < n_work)
+            q = jnp.minimum(q + n_need, n_work)
+            carry = list(carry)
+            carry[0] = jnp.where(valid, 1.0, flag)
+            carry[16] = jnp.where(valid, 0.0, carry[16])
+            carry[13] = jnp.where(valid, 0.0, carry[13])
+            carry[14] = jnp.where(valid, 0.0, carry[14])
+            carry[15] = jnp.where(valid, 0.0, carry[15])
+            carry[2] = jnp.where(valid, carry[2] ^ jnp.uint32(0x9E3779B9), carry[2])
+            carry = tuple(carry)
+        else:
+            carry, xs, ys, samp, pix, q = assign(tuple(carry), xs, ys, samp, pix, q)
+        return q, stats, acc, carry, xs, ys, samp, pix
+
+    stats0 = (jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0))
+    init = (q0, stats0, acc0, carry0, xs0, ys0, samp0, pix0)
+    if python_loop:
+        # tests only (see sample_batch_mesh_fused): the interpret-mode
+        # kernel emulation inside a while_loop is too large for the CPU
+        # XLA compiler; run the loop eagerly instead
+        import numpy as _np
+
+        c = init
+        while bool(_np.asarray(cond(c))):
+            c = body(c)
+        q, stats, acc, *_ = c
+    else:
+        q, stats, acc, *_ = jax.lax.while_loop(cond, body, init)
+    img = acc[:n_pix]
+    if return_stats:
+        return img, {"iterations": stats[0], "lane_bounces": stats[1],
+                     "pend_sum": stats[2], "pend_max": stats[3]}
     return img

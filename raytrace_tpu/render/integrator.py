@@ -377,13 +377,20 @@ def _tk(table, idx):
 
 def _diff_dir(d: Vec3, n: Vec3, u, w) -> Vec3:
     """Cosine-weighted hemisphere from two uniforms
-    (interaction.rs:11-27 == trace.wgsl:524-540)."""
+    (interaction.rs:11-27 == trace.wgsl:524-540).
+
+    The reference renormalizes yd and the final combination; with unit
+    d/n those are unit by construction (yd = n x xd of orthonormal
+    vectors; |comb|^2 = r^2 cos^2 + r^2 sin^2 + (1-u) = 1), so the two
+    normalizes are algebraically redundant and dropped — identical
+    distribution, ~20 fewer VPU ops/bounce. Kept bit-identical with the
+    Pallas kernels (uniform_bsdf)."""
     xd = v3.normalize(d - n * v3.dot(d, n), eps=1e-20)
-    yd = v3.normalize(v3.cross(n, xd), eps=1e-20)
+    yd = v3.cross(n, xd)
     r = jnp.sqrt(u)
     thet = (2.0 * jnp.pi) * w
     z = jnp.sqrt(jnp.maximum(1.0 - u, 0.0))
-    return v3.normalize(xd * (r * jnp.cos(thet)) + yd * (r * jnp.sin(thet)) + n * z)
+    return xd * (r * jnp.cos(thet)) + yd * (r * jnp.sin(thet)) + n * z
 
 
 def _refract_dir(d: Vec3, n: Vec3, n_out, n_in, u, mode: str):
@@ -399,7 +406,10 @@ def _refract_dir(d: Vec3, n: Vec3, n_out, n_in, u, mode: str):
     n_over = n1 / n2
     c22 = 1.0 - n_over * n_over * (1.0 - c1 * c1)
     tir = c22 < 0.0
-    refl_d = v3.normalize(v3.reflect(d, nr))
+    # reflect(unit, unit) and the Snell transmission (|t|^2 =
+    # n_over^2 (1-c1^2) + c22 = 1; TIR arm is d) are unit by
+    # construction — renormalizes dropped (mirrored in the kernels)
+    refl_d = v3.reflect(d, nr)
     sq_c22 = jnp.sqrt(jnp.where(c22 > 0.0, c22, 1.0))  # grad-safe at TIR
     trns = d * n_over + nr * (n_over * c1 - sq_c22)
     trns = v3.where(tir, d, trns)
@@ -410,7 +420,7 @@ def _refract_dir(d: Vec3, n: Vec3, n_out, n_in, u, mode: str):
         cos_term = 1.0 - jnp.where(into, c1, v3.dot(trns, n))
     re = r0 + (1.0 + r0) * cos_term**5
     do_refl = tir | (u < re)
-    new_d = v3.where(do_refl, refl_d, v3.normalize(trns, eps=1e-20))
+    new_d = v3.where(do_refl, refl_d, trns)
     w_refl = jnp.float32(1.0) if mode == "gpu" else jnp.where(tir, 1.0, re)
     return new_d, jnp.where(do_refl, w_refl, 1.0 - re)
 
@@ -435,12 +445,44 @@ def _sample_tex_soa(tex_pool, tex_desc, mi, u, w) -> Vec3:
     px = jnp.clip(u * wf, 0.0, jnp.maximum(wf - 1.0, 0.0)).astype(jnp.int32)
     py = jnp.clip(w * hf, 0.0, jnp.maximum(hf - 1.0, 0.0)).astype(jnp.int32)
     ok = wid > 0
-    base = jnp.where(ok, off + 3 * (px + py * wid), 0)
-    r = jnp.take(tex_pool, base, mode="clip")
-    g = jnp.take(tex_pool, base + 1, mode="clip")
-    b = jnp.take(tex_pool, base + 2, mode="clip")
+    base3 = jnp.where(ok, off + 3 * (px + py * wid), 0)
+    rgb = _fetch_rgb(tex_pool, base3)
     zero = jnp.float32(0.0)
-    return Vec3(jnp.where(ok, r, zero), jnp.where(ok, g, zero), jnp.where(ok, b, zero))
+    return Vec3(
+        jnp.where(ok, rgb.x, zero), jnp.where(ok, rgb.y, zero), jnp.where(ok, rgb.z, zero)
+    )
+
+
+def _sel6(table, face):
+    """table[face] for a 6-row scene-constant table via a 5-select
+    chain — a TPU gather costs ~1 row/cycle over the whole lane array
+    regardless of table size, while broadcast selects ride the VPU
+    (the deferred sky resolve was 19% of the wavefront iteration,
+    mostly these face-table gathers + the 3 texel gathers)."""
+    out = jnp.broadcast_to(table[0], face.shape)
+    for i in range(1, 6):
+        out = jnp.where(face == i, table[i], out)
+    return out
+
+
+def _fetch_rgb(tex_pool, base3) -> Vec3:
+    """ONE gather of a 3-texel slice per lane instead of three element
+    gathers. The operand stays FLAT 1-D: a (T/3, 3) view would be
+    (8, 128)-tiled in HBM, padding the minor dim 42x (the biplane pool
+    is 453 MB flat), so the slice rides lax.gather's slice_sizes on
+    the 1-D layout instead. base3: flat offset of the R texel."""
+    rgb = jax.lax.gather(
+        tex_pool,
+        base3[..., None],
+        jax.lax.GatherDimensionNumbers(
+            offset_dims=(base3.ndim,),
+            collapsed_slice_dims=(),
+            start_index_map=(0,),
+        ),
+        slice_sizes=(3,),
+        mode=jax.lax.GatherScatterMode.CLIP,
+    )
+    return Vec3(rgb[..., 0], rgb[..., 1], rgb[..., 2])
 
 
 def sample_cubemap(scene, rd: Vec3) -> Vec3:
@@ -459,24 +501,23 @@ def sample_cubemap(scene, rd: Vec3) -> Vec3:
     u = jnp.where(is_x, d.z, d.x)
     w = jnp.where(is_x, d.y, jnp.where(is_y, d.z, d.y))
     fact = jnp.where(is_x, d.x, jnp.where(is_y, d.y, d.z))
-    us = _tk(scene.cm_uv_scales[:, 0], face)
-    vs = _tk(scene.cm_uv_scales[:, 1], face)
+    us = _sel6(scene.cm_uv_scales[:, 0], face)
+    vs = _sel6(scene.cm_uv_scales[:, 1], face)
     su = 0.5 * (u * us / fact) + 0.5
     sv = 0.5 * (w * vs / fact) + 0.5
-    off = _tk(scene.cm_offsets, face)
-    wid = _tk(scene.cm_dims[:, 0], face)
-    hei = _tk(scene.cm_dims[:, 1], face)
+    off = _sel6(scene.cm_offsets, face)
+    wid = _sel6(scene.cm_dims[:, 0], face)
+    hei = _sel6(scene.cm_dims[:, 1], face)
     wf = wid.astype(jnp.float32)
     hf = hei.astype(jnp.float32)
     px = jnp.clip(su * wf, 0.0, jnp.maximum(wf - 1.0, 0.0)).astype(jnp.int32)
     py = jnp.clip(sv * hf, 0.0, jnp.maximum(hf - 1.0, 0.0)).astype(jnp.int32)
     ok = wid > 0
     base3 = jnp.where(ok, off + 3 * (px + py * wid), 0)
+    rgb = _fetch_rgb(scene.tex_pool, base3)
     z = jnp.float32(0.0)
     return Vec3(
-        jnp.where(ok, jnp.take(scene.tex_pool, base3, mode="clip"), z),
-        jnp.where(ok, jnp.take(scene.tex_pool, base3 + 1, mode="clip"), z),
-        jnp.where(ok, jnp.take(scene.tex_pool, base3 + 2, mode="clip"), z),
+        jnp.where(ok, rgb.x, z), jnp.where(ok, rgb.y, z), jnp.where(ok, rgb.z, z)
     )
 
 

@@ -216,6 +216,13 @@ _jit_mesh_fused_step = jax.jit(
         "python_loop", "return_stats",
     ),
 )
+_jit_wf_mesh_fused_step = jax.jit(
+    _fm.wavefront_mesh_fused,
+    static_argnames=(
+        "width", "height", "pool", "has_lens", "hints", "interpret",
+        "python_loop", "return_stats",
+    ),
+)
 
 
 def _params_from_scheme(scheme: Scheme, mode: str, differentiable: bool, mesh_chunk: int):
@@ -381,17 +388,14 @@ class Renderer:
             )
 
         if self.use_mesh_fused:
-            # pixel-bound lane grid: every pixel once (tile order),
-            # padded so lanes fill (SUBLANES x 128) blocks; spl samples
-            # run per lane via in-kernel regeneration
-            unit = tk.SUBLANES * tk.LANES
-            padded_npix = -(-n_pix // unit) * unit
-            pix_order = np.concatenate(
-                [self._perm, np.full(padded_npix - n_pix, self._perm[-1], np.int64)]
-            )
-            rows = padded_npix // tk.LANES
-            self._mxs = jnp.asarray((pix_order % self.width).astype(np.int32).reshape(rows, tk.LANES))
-            self._mys = jnp.asarray((pix_order // self.width).astype(np.int32).reshape(rows, tk.LANES))
+            # queue-refilled hybrid (fused_mesh.wavefront_mesh_fused):
+            # a fixed ~full-occupancy lane pool over the fused mesh
+            # bounce kernel; work units handed out sample-major over
+            # the tile-ordered pixel permutation (block coherence for
+            # the kernel's cluster culling)
+            self.mf_pool = min(1 << 17, -(-n_pix // 1024) * 1024)
+            self._mxs = jnp.asarray((self._perm % self.width).astype(np.int32))
+            self._mys = jnp.asarray((self._perm // self.width).astype(np.int32))
             sph_t, ft_t = tk.pack_scene_tables(self.scene)
             self._mtables = (jnp.asarray(sph_t), jnp.asarray(ft_t))
             self._mhints = tk.scene_static_hints(
@@ -401,9 +405,9 @@ class Renderer:
                 tk.make_cam_vec(self.camera, float(scheme.render_info.rad_info.russ_roull_info.max_thres))
             )
             self._mstep = partial(
-                _jit_mesh_fused_step,
+                _jit_wf_mesh_fused_step,
                 width=self.width, height=self.height,
-                spl=self.spd,
+                pool=self.mf_pool,
                 has_lens=self.camera.lens_r is not None,
                 hints=self._mhints,
             )
@@ -461,15 +465,15 @@ class Renderer:
 
                 self._multi_step, _ = make_spp_sharded_step(self._mesh1d, _fin, {})
             elif self.use_mesh_fused:
-                _spl = self.spd
+                _pool = self.mf_pool
                 _hl, _hints = self.camera.lens_r is not None, self._mhints
 
-                def _min(tables, cam_vec, scene, cam, params, xs2d, ys2d,
+                def _min(tables, cam_vec, scene, cam, params, xs_tab, ys_tab,
                          sample_base, n_samples):
-                    return _fm.sample_batch_mesh_fused(
+                    return _fm.wavefront_mesh_fused(
                         tables, cam_vec, scene, cam, params, _w, _h,
-                        xs2d, ys2d, sample_base, n_samples,
-                        spl=_spl, has_lens=_hl, hints=_hints,
+                        xs_tab, ys_tab, sample_base, n_samples,
+                        pool=_pool, has_lens=_hl, hints=_hints,
                     )
 
                 self._multi_step, _ = make_spp_sharded_step(self._mesh1d, _min, {})
@@ -558,16 +562,22 @@ class Renderer:
             n = min(b, total - rendered)
             base = self.target.count  # sample ids continue across calls
             nd = self.n_devices
+            # Each driver prefers the spp-sharded multi-device step, but
+            # only when the chunk covers all devices; a remainder
+            # smaller than the mesh (or the fused per-device unit) runs
+            # the single-device step so render(samples=k) does exactly
+            # k samples — never rounded up to a device multiple.
             if self.use_fused:
                 unit = self.spd * nd
-                n_f = max(unit, (n // unit) * unit)
-                if self._mesh1d is not None:
+                if self._mesh1d is not None and n >= unit:
+                    n_f = (n // unit) * unit
                     out = self._multi_step(
                         self._tables, self._cam_vec, scene_dev, self.params,
                         self._fxs, self._fys, self._frep,
                         jnp.int32(base), jnp.int32(n_f // nd),
                     )
                 else:
+                    n_f = max(self.spd, (n // self.spd) * self.spd)
                     out = self._fstep(
                         self._tables,
                         self._cam_vec,
@@ -584,33 +594,32 @@ class Renderer:
                 self.target.add(res, n_f)
                 n = n_f
             elif self.use_mesh_fused:
-                unit = self.spd * nd
-                n_f = max(unit, (n // unit) * unit)
-                if self._mesh1d is not None:
+                if self._mesh1d is not None and n >= nd:
+                    n_f = (n // nd) * nd
                     out = self._multi_step(
                         self._mtables, self._mcam_vec, scene_dev,
                         self.cam_arrays, self.params, self._mxs, self._mys,
                         jnp.int32(base), jnp.int32(n_f // nd),
                     )
                 else:
+                    n_f = n
                     out = self._mstep(
                         self._mtables,
                         self._mcam_vec,
                         scene_dev,
                         self.cam_arrays,
                         self.params,
-                        xs2d=self._mxs,
-                        ys2d=self._mys,
+                        xs_tab=self._mxs,
+                        ys_tab=self._mys,
                         sample_base=jnp.int32(base),
                         n_samples=jnp.int32(n_f),
                     )
-                res = np.empty((n_pix, 3), np.float32)
-                res[self._perm] = np.asarray(out)[:n_pix]
-                self.target.add(res, n_f)
+                # hybrid accumulates by natural flat pixel id
+                self.target.add(np.asarray(out), n_f)
                 n = n_f
             elif self.use_wavefront:
-                n_w = max(nd, (n // nd) * nd)
-                if self._mesh1d is not None:
+                n_w = (n // nd) * nd if (self._mesh1d is not None and n >= nd) else n
+                if self._mesh1d is not None and n >= nd:
                     out = self._multi_step(
                         scene_dev, self.cam_arrays, self.params,
                         self._wxs, self._wys,
@@ -630,10 +639,11 @@ class Renderer:
                 self.target.add(np.asarray(out), n_w)
                 n = n_w
             else:
-                n_w = max(nd, (n // nd) * nd) if nd > 1 else n
+                use_multi = self._mesh1d is not None and n >= nd
+                n_w = (n // nd) * nd if use_multi else n
                 tile_sums = []
                 for ti in range(self.n_tiles):
-                    if self._mesh1d is not None:
+                    if use_multi:
                         out = self._multi_step(
                             scene_dev, self.cam_arrays, self.params,
                             jnp.asarray(self._x_idx[ti]), jnp.asarray(self._y_idx[ti]),

@@ -71,6 +71,7 @@ def wavefront_batch(
     pool: int,
     sort_lanes: bool = False,
     return_stats: bool = False,
+    ablate: str = "",
 ):
     """Radiance SUM over n_samples for every pixel.
 
@@ -78,7 +79,15 @@ def wavefront_batch(
     Returns (n_pix, 3) f32 sums indexed by flat y*width+x (natural
     image order — no unscramble needed). sample_base/n_samples may be
     traced; pool is the static lane-pool size.
+
+    ablate (PROFILING ONLY — image is wrong): comma-separated stage
+    names replaced by shape-preserving stubs, to attribute the
+    per-iteration cost on hardware. "scatter" (radiance scatter-add),
+    "sky" (deferred cubemap resolve), "assign" (queue refill: cumsum +
+    table gathers + init + raygen; lanes still retire so iteration
+    count stays comparable via a constant-direction refill).
     """
+    ab = set(filter(None, ablate.split(",")))
     n_pix = xs_tab.shape[0]
     n_work = n_pix * n_samples
     track_miss = scene.has_cubemap and not params.debug_single_ray
@@ -204,7 +213,7 @@ def wavefront_batch(
         # misses at most once; see trace_paths' post-loop resolve).
         # Only tiles containing a retiring missed lane pay the gather.
         Lf = st["L"]
-        if track_miss:
+        if track_miss and "sky" not in ab:
             mw = st["miss_w"]
             md = st["miss_d"]
             missed = term & ((mw.x > 0.0) | (mw.y > 0.0) | (mw.z > 0.0))
@@ -241,15 +250,46 @@ def wavefront_batch(
                 ax, ay, az = resolve(missed, md, mw)
                 Lf = Lf + Vec3(ax, ay, az)
 
-        idx = jnp.where(term, pix, n_pix)  # row n_pix = discard
-        acc = (
-            acc[0].at[idx].add(jnp.where(term, Lf.x, 0.0)),
-            acc[1].at[idx].add(jnp.where(term, Lf.y, 0.0)),
-            acc[2].at[idx].add(jnp.where(term, Lf.z, 0.0)),
-        )
+        if "scatter" in ab:
+            # reduction instead of scatter-add: keeps the data
+            # dependence, removes the scatter (profiling stub)
+            acc = (
+                acc[0].at[0].add(jnp.sum(jnp.where(term, Lf.x, 0.0))),
+                acc[1].at[0].add(jnp.sum(jnp.where(term, Lf.y, 0.0))),
+                acc[2].at[0].add(jnp.sum(jnp.where(term, Lf.z, 0.0))),
+            )
+        else:
+            idx = jnp.where(term, pix, n_pix)  # row n_pix = discard
+            acc = (
+                acc[0].at[idx].add(jnp.where(term, Lf.x, 0.0)),
+                acc[1].at[idx].add(jnp.where(term, Lf.y, 0.0)),
+                acc[2].at[idx].add(jnp.where(term, Lf.z, 0.0)),
+            )
 
         st["pix"] = pix
-        st, q = assign(st, q)
+        if "assign" in ab:
+            # shape-preserving refill without cumsum / table gathers /
+            # init_state / raygen: dead lanes re-trace their last ray
+            # (similar path-length distribution; image is wrong)
+            need = ~st["active"]
+            n_need = jnp.sum(need.astype(jnp.int32))
+            valid = need & (q < n_work)
+            q = jnp.minimum(q + n_need, n_work)
+            st["active"] = st["active"] | valid
+            st["bounce"] = jnp.where(valid, 0, st["bounce"])
+            st["L"] = v3.where(valid, Vec3(zeros, zeros, zeros), st["L"])
+            st["ci"] = v3.where(valid, Vec3(ones, ones, ones), st["ci"])
+            st["inten"] = jnp.where(valid, 1.0, st["inten"])
+            st["rng"] = jnp.where(
+                valid, st["rng"] ^ jnp.uint32(0x9E3779B9), st["rng"]
+            )
+            if track_miss:
+                st["miss_d"] = v3.where(valid, Vec3(zeros, zeros, zeros), st["miss_d"])
+                st["miss_w"] = v3.where(valid, Vec3(zeros, zeros, zeros), st["miss_w"])
+            if use_dls:
+                st["dls"]["active"] = st["dls"]["active"] & ~valid
+        else:
+            st, q = assign(st, q)
         return q, stats, acc, st
 
     stats0 = (jnp.int32(0), jnp.int32(0))

@@ -118,39 +118,33 @@ def main():
         "classic" if os.environ.get("BENCH_MESH_CLASSIC") else "fused",
     )
     if mode == "fused":
-        # the production TPU path: fused Pallas bounce pipeline
+        # the production TPU path: queue-refilled hybrid over the
+        # fused mesh bounce kernel (render/fused_mesh.wavefront_mesh_fused)
         from functools import partial
         from raytrace_tpu.ops.pallas import trace_kernel as tk
-        from raytrace_tpu.render.fused_mesh import sample_batch_mesh_fused
+        from raytrace_tpu.render.fused_mesh import wavefront_mesh_fused
 
         camera = build_camera(scheme.cam, W, H)
         sph_t, ft_t = tk.pack_scene_tables(scene)
         hints = tk.scene_static_hints(sph_t, ft_t, scene.n_spheres, scene.n_free_tris)
         cam_vec = jnp.asarray(tk.make_cam_vec(camera, 0.5))
         tables = (jnp.asarray(sph_t), jnp.asarray(ft_t))
-        n_pix = W * H
-        unit = 1024
-        padded = -(-n_pix // unit) * unit
-        order = np.concatenate([perm, np.full(padded - n_pix, perm[-1])])
-        xs2d = jnp.asarray(xs_all[order].astype(np.int32).reshape(-1, 128))
-        ys2d = jnp.asarray(ys_all[order].astype(np.int32).reshape(-1, 128))
-        spl = int(os.environ.get("BENCH_MESH_SPL", str(SPP)))
+        pool = min(1 << 17, -(-(W * H) // 1024) * 1024)
         step = jax.jit(partial(
-            sample_batch_mesh_fused, width=W, height=H, spl=spl,
+            wavefront_mesh_fused, width=W, height=H, pool=pool,
             has_lens=False, hints=hints,
         ))
         t0 = time.time()
         out = step(tables, cam_vec, scene, cam, params,
-                   xs2d=xs2d, ys2d=ys2d,
-                   sample_base=jnp.int32(0), n_samples=jnp.int32(spl))
-        out.block_until_ready()
+                   xs_tab=xs, ys_tab=ys,
+                   sample_base=jnp.int32(0), n_samples=jnp.int32(1))
+        np.asarray(out)
         print(f"compile+first: {time.time()-t0:.1f}s", flush=True)
         t0 = time.time()
-        for s in range(SPP // spl):
-            out = step(tables, cam_vec, scene, cam, params,
-                       xs2d=xs2d, ys2d=ys2d,
-                       sample_base=jnp.int32(spl + s * spl), n_samples=jnp.int32(spl))
-        out.block_until_ready()
+        out = step(tables, cam_vec, scene, cam, params,
+                   xs_tab=xs, ys_tab=ys,
+                   sample_base=jnp.int32(1), n_samples=jnp.int32(SPP))
+        np.asarray(out)
         dt = time.time() - t0
     elif mode == "classic":
         step = jax.jit(lambda sc, c, b: sample_batch(sc, c, params, W, H, xs, ys, b, 1))

@@ -37,15 +37,14 @@ def run(scheme_path, spp, mode: str):
     assert engaged == mode, f"wanted {mode}, renderer engaged {engaged}"
     n_pix = r.width * r.height
     t0 = time.time()
-    r.render(samples=r.spd if r.use_mesh_fused else 1, batch=None, progress=False)
+    r.render(samples=1, batch=None, progress=False)
     t_compile = time.time() - t0
     t0 = time.time()
     # batch up to the renderer's per-dispatch cap (watchdog-aware)
     img = r.render(samples=spp, batch=spp, progress=False)
     dt = time.time() - t0
-    done = r.target.count  # fused paths may round spp up
     print(
-        f"{mode}: {dt:.2f} s for {done - (r.spd if r.use_mesh_fused else 1)} spp, "
+        f"{mode}: {dt:.2f} s for {r.target.count - 1} spp, "
         f"{n_pix * spp / dt / 1e6:.3f} Mpaths/s (compile+warm {t_compile:.1f} s) "
         f"mean={np.asarray(img).mean():.4f}",
         flush=True,

@@ -30,7 +30,7 @@ scheme_path = sys.argv[1] if len(sys.argv) > 1 else "/root/reference/schemes/bip
 spp = int(sys.argv[2]) if len(sys.argv) > 2 else 2
 
 scheme = load_scheme(scheme_path)
-r = Renderer(scheme, use_wavefront=True, use_fused=False)
+r = Renderer(scheme, use_wavefront=True, use_fused=False, use_mesh_fused=False)
 assert r.use_wavefront
 scene_dev = jax.device_put(r.scene)
 

@@ -99,3 +99,34 @@ def test_mesh_fused_sample_base_offset():
     )
     out = _fused(scene, cam, params, tables, hints, cam_vec, xs, ys, 7, 2, spl=2)
     _assert_close(out, ref, 2)
+
+
+def test_wavefront_mesh_fused_matches_integrator():
+    """The queue-refilled hybrid driver (wavefront_mesh_fused): same
+    per-(pixel,sample) streams as the XLA integrator, pool smaller than
+    the work set so the refill/retire/scatter machinery is exercised
+    (4096 pixels x 2 spp through a 1024-lane pool)."""
+    scheme, scene, camera, cam, xs, ys, params, tables, hints, cam_vec = _setup()
+    ref = np.asarray(
+        sample_batch(scene, cam, params, W, H, xs, ys, jnp.int32(0), jnp.int32(2))
+    )
+    out = fm.wavefront_mesh_fused(
+        tables, cam_vec, scene, cam, params, W, H, xs, ys,
+        jnp.int32(0), jnp.int32(2), pool=1024, has_lens=False, hints=hints,
+        interpret=True, python_loop=True,
+    )
+    _assert_close(np.asarray(out), ref, 2)
+
+
+def test_wavefront_mesh_fused_sample_base():
+    """Exact resume through the queue driver: sample ids continue."""
+    scheme, scene, camera, cam, xs, ys, params, tables, hints, cam_vec = _setup()
+    ref = np.asarray(
+        sample_batch(scene, cam, params, W, H, xs, ys, jnp.int32(5), jnp.int32(1))
+    )
+    out = fm.wavefront_mesh_fused(
+        tables, cam_vec, scene, cam, params, W, H, xs, ys,
+        jnp.int32(5), jnp.int32(1), pool=1024, has_lens=False, hints=hints,
+        interpret=True, python_loop=True,
+    )
+    _assert_close(np.asarray(out), ref, 1)

@@ -41,6 +41,51 @@ class TestRng:
         corr = np.corrcoef(np.asarray(u0), np.asarray(u1))[0, 1]
         assert abs(corr) < 0.05
 
+    def test_successive_draws_decorrelated(self):
+        """Lag-1..4 serial correlation within one stream stays at the
+        sqrt(N) noise level — the risky axis for a one-multiply-
+        finalizer Weyl generator (consecutive states differ by a
+        constant), gating the GENERATOR family choice."""
+        s = rng.init_state(jnp.arange(8192), jnp.zeros(8192, jnp.int32), 128, 64, 7)
+        draws = []
+        for _ in range(6):
+            s, u = rng.next_f32(s)
+            draws.append(np.asarray(u))
+        d = np.stack(draws)  # (6, 8192)
+        for lag in (1, 2, 3, 4):
+            c = [np.corrcoef(d[i], d[i + lag])[0, 1] for i in range(6 - lag)]
+            assert max(abs(x) for x in c) < 0.05, (lag, c)
+
+    def test_neighbor_pixel_streams_decorrelated(self):
+        """(x, y) vs (x+1, y) streams — jenkins-seeded lanes must not
+        inherit neighbor structure through the per-draw update."""
+        xs = jnp.arange(8192)
+        ys = (xs * 7) % 512
+        s_a = rng.init_state(xs, ys, 8192, 512, 3)
+        s_b = rng.init_state(xs + 1, ys, 8192, 512, 3)
+        for _ in range(3):
+            s_a, ua = rng.next_f32(s_a)
+            s_b, ub = rng.next_f32(s_b)
+            corr = np.corrcoef(np.asarray(ua), np.asarray(ub))[0, 1]
+            assert abs(corr) < 0.05
+
+    def test_2d_stratification_chi2(self):
+        """(u, v) pairs from one stream fill the unit square uniformly:
+        chi-square over a 16x16 grid within 4 sigma — catches planes /
+        lattice structure a mean/variance test misses."""
+        s = rng.init_state(
+            jnp.arange(65536), jnp.full(65536, 9, jnp.int32), 65536, 16, 11
+        )
+        s, u = rng.next_f32(s)
+        _, v = rng.next_f32(s)
+        iu = np.minimum((np.asarray(u) * 16).astype(int), 15)
+        iv = np.minimum((np.asarray(v) * 16).astype(int), 15)
+        counts = np.bincount(iu * 16 + iv, minlength=256)
+        expected = 65536 / 256
+        chi2 = ((counts - expected) ** 2 / expected).sum()
+        # dof = 255: mean 255, sd = sqrt(2*255) ~ 22.6; 4 sigma ~ 345
+        assert chi2 < 255 + 4 * np.sqrt(2 * 255), chi2
+
 
 class TestSphere:
     def test_head_on(self):
