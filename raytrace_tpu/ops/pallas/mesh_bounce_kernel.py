@@ -157,9 +157,10 @@ def _kernel(
 
     if spl == 1:
         # queue mode: lanes the driver refilled (flag == 3) raygen
-        # in-kernel from their freshly-assigned (x, y, sample) — the
-        # driver's assign() only writes the three scalars, keeping its
-        # XLA stage to the cumsum + two table gathers
+        # in-kernel from their freshly-assigned (x, y, sample) AND
+        # reset their path state — the driver's assign() only writes
+        # flag/x/y/samp, keeping its XLA stage to the cumsum + two
+        # table gathers + five selects
         fresh = flag > 2.5
         stf, oxf, oyf, ozf, dxf, dyf, dzf = start_sample(samp0)
         state = jnp.where(fresh, stf, state)
@@ -169,6 +170,14 @@ def _kernel(
         dx = jnp.where(fresh, dxf, dx)
         dy = jnp.where(fresh, dyf, dy)
         dz = jnp.where(fresh, dzf, dz)
+        cir = jnp.where(fresh, 1.0, cir)
+        cig = jnp.where(fresh, 1.0, cig)
+        cib = jnp.where(fresh, 1.0, cib)
+        inten = jnp.where(fresh, 1.0, inten)
+        lr = jnp.where(fresh, 0.0, lr)
+        lg = jnp.where(fresh, 0.0, lg)
+        lb = jnp.where(fresh, 0.0, lb)
+        depth = jnp.where(fresh, 0.0, depth)
         flag = jnp.where(fresh, 1.0, flag)
 
     active = flag > 0.5

@@ -246,7 +246,7 @@ def sample_batch_mesh_fused(
 
 
 def _pend_shade_compact(scene, cam, width, height, assured, max_bounces,
-                        max_thres, carry, gid, tt, bu, bv, cw: int):
+                        max_thres, carry, gid, tt, bu, bv, cws):
     """_mesh_shade on a COMPACTED buffer of the mesh-pending lanes.
 
     The dense stage pays 8 RNG draws + the full PBR/RR update for
@@ -256,9 +256,12 @@ def _pend_shade_compact(scene, cam, width, height, assured, max_bounces,
     scatter the pending lane ids into a (cw,) slot buffer, the whole
     shade runs at cw width (the attr/texel gathers inside were already
     per-lane gathers, so compaction shrinks them too), and 15 arrays
-    scatter back. Falls back to the dense stage via lax.cond when more
-    than cw lanes are pending — correctness never depends on the
-    occupancy estimate."""
+    scatter back. `cws` is an ascending tuple of candidate widths — the
+    narrowest that fits this iteration's pend count runs (nested
+    lax.cond), so steady-state iterations (~10-15% pend) use a narrow
+    buffer while early full-occupancy iterations still compact at a
+    wide one. Falls back to the dense stage when even the widest is
+    exceeded — correctness never depends on the occupancy estimate."""
     pool = carry[0].shape[0]
     flag = carry[0]
     pend = flag > 1.5
@@ -272,33 +275,46 @@ def _pend_shade_compact(scene, cam, width, height, assured, max_bounces,
                            assured, max_bounces, max_thres, carry,
                            gid, tt, bu, bv)
 
-    def compact(args):
-        carry, gid, tt, bu, bv = args
-        slot = jnp.where(pend & (ranks < cw), ranks, cw)
-        lane = (
-            jnp.zeros((cw + 1,), jnp.int32)
-            .at[slot]
-            .set(jnp.arange(pool, dtype=jnp.int32), mode="drop")[:cw]
-        )
-        in_slot = jnp.arange(cw, dtype=jnp.int32) < cnt
-        g = lambda a: jnp.take(a, lane, axis=0)
-        carry_c = tuple(g(a) for a in carry)
-        # unused slots gathered lane 0's state — mask their flag so the
-        # shade treats them as non-pending
-        carry_c = (jnp.where(in_slot, carry_c[0], 0.0),) + carry_c[1:]
-        iz = jnp.zeros((cw,), jnp.int32)
-        out_c = _mesh_shade(scene, cam, width, height, iz, iz, iz, 1,
-                            assured, max_bounces, max_thres, carry_c,
-                            g(gid), g(tt), g(bu), g(bv))
-        dest = jnp.where(in_slot, lane, pool)  # pool = discard (drop)
-        out = list(carry)
-        # indices _mesh_shade can change with spl=1: flag, state, ray,
-        # throughput, radiance, depth (sk=1 and inten=12 are untouched)
-        for k in (0, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 13, 14, 15, 16):
-            out[k] = out[k].at[dest].set(out_c[k], mode="drop")
-        return tuple(out)
+    def make_compact(cw):
+        def compact(args):
+            carry, gid, tt, bu, bv = args
+            slot = jnp.where(pend & (ranks < cw), ranks, cw)
+            lane = (
+                jnp.zeros((cw + 1,), jnp.int32)
+                .at[slot]
+                .set(jnp.arange(pool, dtype=jnp.int32), mode="drop")[:cw]
+            )
+            in_slot = jnp.arange(cw, dtype=jnp.int32) < cnt
+            g = lambda a: jnp.take(a, lane, axis=0)
+            carry_c = tuple(g(a) for a in carry)
+            # unused slots gathered lane 0's state — mask their flag so
+            # the shade treats them as non-pending
+            carry_c = (jnp.where(in_slot, carry_c[0], 0.0),) + carry_c[1:]
+            iz = jnp.zeros((cw,), jnp.int32)
+            out_c = _mesh_shade(scene, cam, width, height, iz, iz, iz, 1,
+                                assured, max_bounces, max_thres, carry_c,
+                                g(gid), g(tt), g(bu), g(bv))
+            dest = jnp.where(in_slot, lane, pool)  # pool = discard (drop)
+            out = list(carry)
+            # indices _mesh_shade can change with spl=1: flag, state,
+            # ray, throughput, radiance, depth (sk=1 and inten=12 are
+            # untouched)
+            for k in (0, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 13, 14, 15, 16):
+                out[k] = out[k].at[dest].set(out_c[k], mode="drop")
+            return tuple(out)
 
-    return jax.lax.cond(cnt > cw, dense, compact, (carry, gid, tt, bu, bv))
+        return compact
+
+    args = (carry, gid, tt, bu, bv)
+    step = dense
+    for cw in sorted(cws, reverse=True):
+        wider = step
+
+        def tier(args, cw=cw, wider=wider):
+            return jax.lax.cond(cnt > cw, wider, make_compact(cw), args)
+
+        step = tier
+    return step(args)
 
 
 def wavefront_mesh_fused(
@@ -362,10 +378,13 @@ def wavefront_mesh_fused(
     def assign(carry, xs, ys, samp, pix, q):
         """Hand the next work units to every retired lane (rank =
         prefix sum, sample-major ids). Refilled lanes are marked
-        flag = 3: the KERNEL raygens them from (x, y, sample) next
-        call (bit-identical ops — mesh_bounce_kernel.start_sample IS
-        ops.rng.init_state + ops.raygen.generate), so this stage is
-        just the cumsum, two pixel-table gathers and cheap selects."""
+        flag = 3: the KERNEL raygens them from (x, y, sample) AND
+        resets their path state (throughput/intensity/radiance/depth)
+        next call (bit-identical ops — mesh_bounce_kernel.start_sample
+        IS ops.rng.init_state + ops.raygen.generate), so this stage is
+        just the cumsum, two pixel-table gathers and FIVE selects —
+        the 12 pool-width state resets ride the kernel's fresh branch
+        where those arrays are already in VMEM registers."""
         flag = carry[0]
         need = flag < 0.5
         ranks = jnp.cumsum(need.astype(jnp.int32))
@@ -377,18 +396,7 @@ def wavefront_mesh_fused(
         samp_new = sample_base + ids_c // n_pix
         x = jnp.take(xs_tab, pix_pos)
         y = jnp.take(ys_tab, pix_pos)
-        (flag, sk, state, ox, oy, oz, dx, dy, dz,
-         cir, cig, cib, inten, lr, lg, lb, depth) = carry
-        one_v = jnp.ones((pool,), jnp.float32)
-        carry = (
-            jnp.where(valid, 3.0, flag),
-            jnp.where(valid, 0.0, sk),
-            state, ox, oy, oz, dx, dy, dz,  # kernel raygen overwrites
-            jnp.where(valid, one_v, cir), jnp.where(valid, one_v, cig),
-            jnp.where(valid, one_v, cib), jnp.where(valid, one_v, inten),
-            jnp.where(valid, 0.0, lr), jnp.where(valid, 0.0, lg),
-            jnp.where(valid, 0.0, lb), jnp.where(valid, 0.0, depth),
-        )
+        carry = (jnp.where(valid, 3.0, carry[0]),) + tuple(carry[1:])
         xs = jnp.where(valid, x, xs)
         ys = jnp.where(valid, y, ys)
         samp = jnp.where(valid, samp_new, samp)
@@ -438,7 +446,7 @@ def wavefront_mesh_fused(
         else:
             carry = _pend_shade_compact(
                 scene, cam, width, height, assured, max_b, max_thres,
-                tuple(carry), gid, tt, bu, bv, cw=pool // 2,
+                tuple(carry), gid, tt, bu, bv, cws=(pool // 8, pool // 2),
             )
 
         # ---- retirement: deferred sky resolve + radiance scatter,
@@ -521,18 +529,15 @@ def wavefront_mesh_fused(
             acc = jax.lax.cond(tcnt > cw2, retire_dense, retire_compact, acc)
 
         if "assign" in ab:
+            # timing stub: skip the queue work (cumsum + table gathers);
+            # lanes restart in place — image meaningless, shape preserved
             flag = carry[0]
             need = flag < 0.5
             n_need = jnp.sum(need.astype(jnp.int32))
             valid = need & (q < n_work)
             q = jnp.minimum(q + n_need, n_work)
             carry = list(carry)
-            carry[0] = jnp.where(valid, 1.0, flag)
-            carry[16] = jnp.where(valid, 0.0, carry[16])
-            carry[13] = jnp.where(valid, 0.0, carry[13])
-            carry[14] = jnp.where(valid, 0.0, carry[14])
-            carry[15] = jnp.where(valid, 0.0, carry[15])
-            carry[2] = jnp.where(valid, carry[2] ^ jnp.uint32(0x9E3779B9), carry[2])
+            carry[0] = jnp.where(valid, 3.0, flag)
             carry = tuple(carry)
         else:
             carry, xs, ys, samp, pix, q = assign(tuple(carry), xs, ys, samp, pix, q)

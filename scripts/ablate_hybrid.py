@@ -51,9 +51,14 @@ for ablate in ("", "sky", "shade", "scatter", "assign", "sky,shade,scatter,assig
     np.asarray(img)
     dt = time.time() - t0
     iters = int(stats["iterations"])
+    pend = (
+        f"  pend avg {int(stats['pend_sum'])/max(iters,1)/r.mf_pool:.3f}"
+        f" max {int(stats['pend_max'])/r.mf_pool:.3f}"
+        if "pend_sum" in stats else ""
+    )
     print(
         f"ablate={ablate or 'none':26s} {dt:6.2f}s  {iters:4d} iters  "
         f"{dt/max(iters,1)*1e3:6.1f} ms/iter  {n_work/dt/1e6:6.3f} Mpaths/s  "
-        f"(compile {tc:.0f}s)",
+        f"(compile {tc:.0f}s){pend}",
         flush=True,
     )
