@@ -424,7 +424,8 @@ def build_scene(scheme: Scheme, pad_mult: int = 2048, pad_small: int = 8) -> Sce
         from ..ops.pallas.mesh_hit_kernel import pack_mesh_tables_np
 
         mkb, mks, mkt = pack_mesh_tables_np(
-            kw["cl_idx"], cl_lo, cl_hi, kw["cl_v0"], kw["cl_e1"], kw["cl_e2"]
+            kw["cl_idx"], cl_lo, cl_hi, kw["cl_v0"], kw["cl_e1"], kw["cl_e2"],
+            cam_o=np.asarray(scheme.cam.o, np.float32),
         )
         kw.update(mk_bounds=mkb, mk_sbounds=mks, mk_tri=mkt)
 

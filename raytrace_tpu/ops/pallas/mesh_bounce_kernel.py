@@ -162,6 +162,12 @@ def _kernel(
         # flag/x/y/samp, keeping its XLA stage to the cumsum + two
         # table gathers + five selects
         fresh = flag > 2.5
+        # lanes still flag == 2 on entry are DEFERRED mesh-pend lanes
+        # (the driver's fixed-width shade stage didn't reach them last
+        # iteration): skip them entirely — in particular their RNG
+        # state must not advance, the driver draws their 8 uniforms
+        # from the carried state at shade time
+        deferred = (flag > 1.5) & ~fresh
         stf, oxf, oyf, ozf, dxf, dyf, dzf = start_sample(samp0)
         state = jnp.where(fresh, stf, state)
         ox = jnp.where(fresh, oxf, ox)
@@ -179,8 +185,9 @@ def _kernel(
         lb = jnp.where(fresh, 0.0, lb)
         depth = jnp.where(fresh, 0.0, depth)
         flag = jnp.where(fresh, 1.0, flag)
-
-    active = flag > 0.5
+        active = (flag > 0.5) & ~deferred
+    else:
+        active = flag > 0.5
     zero = jnp.zeros_like(dx)
 
     # ---- sphere + free-triangle closest hit (shared unrolled pass) --
@@ -294,7 +301,8 @@ def _kernel(
     st8, _u5 = _next_f32(st8)
     st8, _u6 = _next_f32(st8)
     st8, u7 = _next_f32(st8)
-    state = jnp.where(mesh_pend, state, st8)
+    keep_state = mesh_pend if spl > 1 else (mesh_pend | deferred)
+    state = jnp.where(keep_state, state, st8)
 
     # ---- sphere / free-tri shading (shared BSDF ops) ----
     nxv, nyv, nzv = s_["nxv"], s_["nyv"], s_["nzv"]

@@ -166,7 +166,7 @@ GROUP = 16  # clusters per supercluster
 _NOHIT_LO, _NOHIT_HI = 3.0e38, -3.0e38  # inverted AABB: slab never hits
 
 
-def pack_mesh_tables_np(cl_idx, cl_lo, cl_hi, cl_v0, cl_e1, cl_e2):
+def pack_mesh_tables_np(cl_idx, cl_lo, cl_hi, cl_v0, cl_e1, cl_e2, cam_o=None):
     """Cluster arrays -> (bounds (Cp, 8), sbounds (S, 8),
     tri (S, GROUP*W/8, 128)) numpy f32, Cp = C padded to a GROUP
     multiple, S = Cp/GROUP. Runs ONCE at scene build. Triangle w of
@@ -176,7 +176,17 @@ def pack_mesh_tables_np(cl_idx, cl_lo, cl_hi, cl_v0, cl_e1, cl_e2):
     AABBs so the slab test retires them; superclusters are unions of
     GROUP consecutive clusters (build order is spatially local).
     The supercluster-major table lets the kernel DMA a whole reached
-    group in one copy."""
+    group in one copy.
+
+    cam_o (3,) enables FRONT-TO-BACK ordering: superclusters (whole
+    groups, membership unchanged so their union AABBs stay tight) and
+    clusters within each group are permuted by distance from cam_o to
+    their AABB. The kernels skip a cluster whose slab entry exceeds
+    the lane's current best t (`entry < tt` in slab_reach), so a
+    near-first visit order turns that test into real early
+    termination on primary rays — the role near/far ordering plays in
+    the reference's KD traversal (accel/kdtree.rs:66-104). Perf-only:
+    closest-hit is an argmin over all clusters in any order."""
     cl_idx = np.asarray(cl_idx)
     C, W = cl_idx.shape
     assert W % 8 == 0, W
@@ -186,18 +196,31 @@ def pack_mesh_tables_np(cl_idx, cl_lo, cl_hi, cl_v0, cl_e1, cl_e2):
     nonempty = (cl_idx >= 0).any(axis=1)
     lo[:C][nonempty] = np.asarray(cl_lo)[nonempty]
     hi[:C][nonempty] = np.asarray(cl_hi)[nonempty]
-    bounds = np.concatenate([lo, hi, np.zeros((Cp, 2), np.float32)], axis=1)
-    slo = lo.reshape(Cp // GROUP, GROUP, 3).min(axis=1)
-    shi = hi.reshape(Cp // GROUP, GROUP, 3).max(axis=1)
-    sbounds = np.concatenate(
-        [slo, shi, np.zeros((Cp // GROUP, 2), np.float32)], axis=1
-    )
     tri = np.zeros((Cp, W, TRI_COLS), np.float32)
     tri[:, :, 9] = -1.0
     tri[:C, :, 0:3] = np.asarray(cl_v0)
     tri[:C, :, 3:6] = np.asarray(cl_e1)
     tri[:C, :, 6:9] = np.asarray(cl_e2)
     tri[:C, :, 9] = cl_idx.astype(np.float32)
+
+    if cam_o is not None and C:
+        cam = np.asarray(cam_o, np.float32).reshape(1, 3)
+        valid = lo[:, 0] <= hi[:, 0]
+        d = np.linalg.norm(np.clip(cam, lo, hi) - cam, axis=1)
+        d = np.where(valid, d, np.inf)  # padding clusters sort last
+        S = Cp // GROUP
+        dg = d.reshape(S, GROUP)
+        within = np.argsort(dg, axis=1, kind="stable")  # (S, GROUP)
+        gorder = np.argsort(dg.min(axis=1), kind="stable")  # (S,)
+        perm = (gorder[:, None] * GROUP + within[gorder]).reshape(-1)
+        lo, hi, tri = lo[perm], hi[perm], tri[perm]
+
+    bounds = np.concatenate([lo, hi, np.zeros((Cp, 2), np.float32)], axis=1)
+    slo = lo.reshape(Cp // GROUP, GROUP, 3).min(axis=1)
+    shi = hi.reshape(Cp // GROUP, GROUP, 3).max(axis=1)
+    sbounds = np.concatenate(
+        [slo, shi, np.zeros((Cp // GROUP, 2), np.float32)], axis=1
+    )
     return bounds, sbounds, tri.reshape(Cp // GROUP, GROUP * (W // 8), 8 * TRI_COLS)
 
 

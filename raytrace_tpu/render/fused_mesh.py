@@ -34,6 +34,7 @@ from .integrator import (
     IntegratorParams,
     _diff_dir,
     mesh_attrs_compacted,
+    mesh_attrs_dense,
     sample_cubemap,
 )
 
@@ -54,19 +55,29 @@ def supports(scene, params: IntegratorParams) -> bool:
 
 
 def _mesh_shade(scene, cam, width, height, xs, ys, samp0, spl,
-                assured, max_bounces, max_thres, carry, gid, tt, bu, bv):
+                assured, max_bounces, max_thres, carry, gid, tt, bu, bv,
+                precompacted=False):
     """Complete the bounce for mesh-pending lanes (flag == 2): draw the
     8 uniforms the kernel skipped, gather surface attributes
     (compacted), PBR divert (mesh/triangle.rs:190-226), gpu radiance
     update, and in-place sample regeneration. All arrays flat (N,)."""
     (flag, sk, state, ox, oy, oz, dx, dy, dz,
      cir, cig, cib, inten, lr, lg, lb, depth) = carry
-    pend = flag > 1.5
+    # flag == 2 exactly: queue-refilled lanes (flag == 3) are NOT
+    # pending — the shade can run after the refill stage
+    pend = (flag > 1.5) & (flag < 2.5)
 
     st8, (u0, u1, u2, u3, u4, u5, u6, u7) = rng.next_f32_n(state, 8)
     del u3  # uniform-material fresnel draw; drawn for stream parity
 
     mi = jnp.where(pend, jnp.clip(gid, 0, scene.mt_attr.shape[0] - 1), 0)
+    # NOTE: even when the caller already compacted (precompacted=True)
+    # the inner mesh_attrs_compacted stays: measured 9ms/iter FASTER
+    # than calling mesh_attrs_dense on the cw buffer (biplane sweep,
+    # BENCH_NOTES round 2 session 3) — its quarter-width cond engages
+    # on low-occupancy (drain) iterations where the texture-gather
+    # stage shrinks 4x.
+    del precompacted
     nx, ny, nz, rr_, rg_, rb_, met, rgh = mesh_attrs_compacted(
         scene, pend, mi, bu, bv
     )
@@ -245,83 +256,66 @@ def sample_batch_mesh_fused(
     return img
 
 
-def _pend_shade_compact(scene, cam, width, height, assured, max_bounces,
-                        max_thres, carry, gid, tt, bu, bv, cws):
-    """_mesh_shade on a COMPACTED buffer of the mesh-pending lanes.
+def _pend_shade_defer(scene, cam, width, height, assured, max_bounces,
+                      max_thres, carry, gid, tt, bu, bv, cw):
+    """_mesh_shade on a FIXED-width compacted buffer of the first `cw`
+    mesh-pending lanes; the rest DEFER to the next iteration.
 
     The dense stage pays 8 RNG draws + the full PBR/RR update for
-    every pool lane when typically only ~10-20% are pending (the
-    measured reason the first hybrid cut did not beat the classic
-    wavefront driver — BENCH_NOTES round 2). Here: prefix-sum ranks
-    scatter the pending lane ids into a (cw,) slot buffer, the whole
-    shade runs at cw width (the attr/texel gathers inside were already
-    per-lane gathers, so compaction shrinks them too), and 15 arrays
-    scatter back. `cws` is an ascending tuple of candidate widths — the
-    narrowest that fits this iteration's pend count runs (nested
-    lax.cond), so steady-state iterations (~10-15% pend) use a narrow
-    buffer while early full-occupancy iterations still compact at a
-    wide one. Falls back to the dense stage when even the widest is
-    exceeded — correctness never depends on the occupancy estimate."""
+    every pool lane when typically only ~10-20% are pending, and the
+    earlier tiered-`lax.cond` variant still mostly ran at pool//2
+    width (measured ~23 ms/iter of the 48.3 ms hybrid iteration —
+    BENCH_NOTES round 2). Here the shade width is a compile-time
+    constant: prefix-sum ranks scatter the first `cw` pending lane
+    ids into a (cw,) slot buffer, the whole shade (draws + compacted
+    attr/texel gathers + PBR + RR) runs at cw width, and the results
+    scatter back. Pending lanes with rank >= cw are simply NOT
+    gathered or written: they keep flag == 2 and their carried hit
+    info, the kernel skips them next launch (their RNG state is
+    untouched — mesh_bounce_kernel's `deferred` branch), and they are
+    shaded in a later iteration. Each iteration shades up to cw
+    pending lanes, so the drain always progresses; the backlog
+    self-regulates (a large backlog lowers live-lane occupancy, which
+    lowers the pend production rate below cw). Per-(pixel, sample)
+    draw streams and radiance are bit-identical to the dense stage —
+    only the iteration at which a bounce completes moves."""
     pool = carry[0].shape[0]
     flag = carry[0]
-    pend = flag > 1.5
+    pend = (flag > 1.5) & (flag < 2.5)
     ranks = jnp.cumsum(pend.astype(jnp.int32)) - 1
     cnt = ranks[-1] + 1
 
-    def dense(args):
-        carry, gid, tt, bu, bv = args
-        iz = jnp.zeros((pool,), jnp.int32)
-        return _mesh_shade(scene, cam, width, height, iz, iz, iz, 1,
-                           assured, max_bounces, max_thres, carry,
-                           gid, tt, bu, bv)
-
-    def make_compact(cw):
-        def compact(args):
-            carry, gid, tt, bu, bv = args
-            slot = jnp.where(pend & (ranks < cw), ranks, cw)
-            lane = (
-                jnp.zeros((cw + 1,), jnp.int32)
-                .at[slot]
-                .set(jnp.arange(pool, dtype=jnp.int32), mode="drop")[:cw]
-            )
-            in_slot = jnp.arange(cw, dtype=jnp.int32) < cnt
-            g = lambda a: jnp.take(a, lane, axis=0)
-            carry_c = tuple(g(a) for a in carry)
-            # unused slots gathered lane 0's state — mask their flag so
-            # the shade treats them as non-pending
-            carry_c = (jnp.where(in_slot, carry_c[0], 0.0),) + carry_c[1:]
-            iz = jnp.zeros((cw,), jnp.int32)
-            out_c = _mesh_shade(scene, cam, width, height, iz, iz, iz, 1,
-                                assured, max_bounces, max_thres, carry_c,
-                                g(gid), g(tt), g(bu), g(bv))
-            dest = jnp.where(in_slot, lane, pool)  # pool = discard (drop)
-            out = list(carry)
-            # indices _mesh_shade can change with spl=1: flag, state,
-            # ray, throughput, radiance, depth (sk=1 and inten=12 are
-            # untouched)
-            for k in (0, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 13, 14, 15, 16):
-                out[k] = out[k].at[dest].set(out_c[k], mode="drop")
-            return tuple(out)
-
-        return compact
-
-    args = (carry, gid, tt, bu, bv)
-    step = dense
-    for cw in sorted(cws, reverse=True):
-        wider = step
-
-        def tier(args, cw=cw, wider=wider):
-            return jax.lax.cond(cnt > cw, wider, make_compact(cw), args)
-
-        step = tier
-    return step(args)
+    slot = jnp.where(pend & (ranks < cw), ranks, cw)
+    lane = (
+        jnp.zeros((cw + 1,), jnp.int32)
+        .at[slot]
+        .set(jnp.arange(pool, dtype=jnp.int32), mode="drop")[:cw]
+    )
+    in_slot = jnp.arange(cw, dtype=jnp.int32) < cnt
+    g = lambda a: jnp.take(a, lane, axis=0)
+    carry_c = tuple(g(a) for a in carry)
+    # unused slots gathered lane 0's state — mask their flag so
+    # the shade treats them as non-pending
+    carry_c = (jnp.where(in_slot, carry_c[0], 0.0),) + carry_c[1:]
+    iz = jnp.zeros((cw,), jnp.int32)
+    out_c = _mesh_shade(scene, cam, width, height, iz, iz, iz, 1,
+                        assured, max_bounces, max_thres, carry_c,
+                        g(gid), g(tt), g(bu), g(bv), precompacted=True)
+    dest = jnp.where(in_slot, lane, pool)  # pool = discard (drop)
+    out = list(carry)
+    # indices _mesh_shade can change with spl=1: flag, state,
+    # ray, throughput, radiance, depth (sk=1 and inten=12 are
+    # untouched)
+    for k in (0, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 13, 14, 15, 16):
+        out[k] = out[k].at[dest].set(out_c[k], mode="drop")
+    return tuple(out)
 
 
 def wavefront_mesh_fused(
     tables, cam_vec, scene, cam, params, width, height, xs_tab, ys_tab,
     sample_base, n_samples, pool: int, has_lens: bool = False, hints=None,
     interpret: bool = False, python_loop: bool = False,
-    return_stats: bool = False, ablate: str = "",
+    return_stats: bool = False, ablate: str = "", shade_width: int = 0,
 ):
     """Queue-refilled (wavefront) driver over the fused mesh bounce
     kernel — the round-2 production path for mesh scenes.
@@ -374,6 +368,7 @@ def wavefront_mesh_fused(
     fl = lambda a: a.reshape(pool)
     zero = jnp.zeros((pool,), jnp.float32)
     izero = jnp.zeros((pool,), jnp.int32)
+    cw = shade_width or max(pool // 4, 1024)
 
     def assign(carry, xs, ys, samp, pix, q):
         """Hand the next work units to every retired lane (rank =
@@ -413,7 +408,7 @@ def wavefront_mesh_fused(
         return jnp.any(c[3][0] > 0.5)
 
     def body(c):
-        q, stats, acc, carry, xs, ys, samp, pix = c
+        q, stats, acc, carry, xs, ys, samp, pix, hitc = c
         was_active = carry[0] > 0.5
         stats = (stats[0] + 1, stats[1] + jnp.sum(was_active.astype(jnp.int32)),
                  stats[2], stats[3])
@@ -430,10 +425,46 @@ def wavefront_mesh_fused(
         )
         carry = [fl(a) for a in carry2d]
         gid, tt, bu, bv, mdx, mdy, mdz, mwr, mwg, mwb = (fl(a) for a in outs)
+        # merge this launch's hit records over the carried ones: lanes
+        # the kernel deferred (flag still 2, output gid == -1) keep the
+        # hit they recorded when they first went pending
+        new_hit = gid >= 0
+        gid = jnp.where(new_hit, gid, hitc[0])
+        tt = jnp.where(new_hit, tt, hitc[1])
+        bu = jnp.where(new_hit, bu, hitc[2])
+        bv = jnp.where(new_hit, bv, hitc[3])
+        hitc = (gid, tt, bu, bv)
 
         n_pend = jnp.sum((carry[0] > 1.5).astype(jnp.int32))
         stats = (stats[0], stats[1], stats[2] + n_pend,
                  jnp.maximum(stats[3], n_pend))
+
+        # ---- queue refill FIRST (before the pend shade): both rank
+        # prefix-sums (refill `need`, shade `pend`) then depend only on
+        # the post-kernel flags — no serialized cumsum->stage->cumsum
+        # chain. Lanes the SHADE retires (mesh RR kill) idle one
+        # iteration and refill on the next pass; their banked radiance
+        # rides the dense scatter below either way. Refill only writes
+        # flag/x/y/samp/pix — Lr and pix of kernel-retired lanes are
+        # still intact for the scatter (the kernel resets lr on the
+        # fresh branch NEXT launch).
+        term1 = was_active & (carry[0] < 0.5)
+        pix_prev = pix
+        if "assign" in ab:
+            # timing stub: skip the queue work (cumsum + table gathers);
+            # lanes restart in place — image meaningless, shape preserved
+            flag = carry[0]
+            need = flag < 0.5
+            n_need = jnp.sum(need.astype(jnp.int32))
+            valid = need & (q < n_work)
+            q = jnp.minimum(q + n_need, n_work)
+            carry = list(carry)
+            carry[0] = jnp.where(valid, 3.0, flag)
+        else:
+            carry, xs, ys, samp, pix, q = assign(tuple(carry), xs, ys, samp, pix, q)
+            carry = list(carry)
+
+        flag_pre_shade = carry[0]
         if "shade" in ab:
             # stub the mesh-pend XLA stage: pend lanes just retire
             carry[0] = jnp.where(carry[0] > 1.5, 0.0, carry[0])
@@ -444,20 +475,19 @@ def wavefront_mesh_fused(
                 assured, max_b, max_thres, tuple(carry), gid, tt, bu, bv,
             )
         else:
-            carry = _pend_shade_compact(
+            carry = _pend_shade_defer(
                 scene, cam, width, height, assured, max_b, max_thres,
-                tuple(carry), gid, tt, bu, bv, cws=(pool // 8, pool // 2),
+                tuple(carry), gid, tt, bu, bv, cw=cw,
             )
 
         # ---- retirement: deferred sky resolve + radiance scatter,
-        # COMPACTED over one term-rank prefix sum. In queue mode a
-        # missed lane always retires the same iteration (spl=1, no
-        # in-kernel regen), so the sky term of the dense formulation
-        # folds entirely into the retirement stage: the big texel-pool
-        # gather and the (n_pix+1, 3) scatter-add both shrink to the
-        # retiring fraction. Dense fallback when more than cw2 lanes
-        # retire at once (early full-pool iterations).
-        term = was_active & (carry[0] < 0.5)
+        # DENSE over the pool — no rank cumsum, no lax.cond (both
+        # measured as the dominant per-iteration cost of the earlier
+        # compacted/tiered formulations; most lanes retire every
+        # iteration on sky-dominated scenes, so compaction bought
+        # little and its cumsum+cond serialized the loop body).
+        term2 = (flag_pre_shade > 1.5) & (carry[0] < 0.5)  # shade RR kill
+        term = term1 | term2
         do_sky = scene.has_cubemap and "sky" not in ab
         Lr, Lg, Lb = carry[13], carry[14], carry[15]
 
@@ -471,80 +501,29 @@ def wavefront_mesh_fused(
                 L3[2] + jnp.where(m_, mw_[2] * sky.z, 0.0),
             )
 
+        if do_sky:
+            md = Vec3(mdx, mdy, mdz)
+            missed = (md.x != 0.0) | (md.y != 0.0) | (md.z != 0.0)
+            Lr, Lg, Lb = sky_add(missed, md, (mwr, mwg, mwb), (Lr, Lg, Lb))
         if "scatter" in ab:
-            if do_sky:
-                md = Vec3(mdx, mdy, mdz)
-                missed = (md.x != 0.0) | (md.y != 0.0) | (md.z != 0.0)
-                Lr, Lg, Lb = sky_add(missed, md, (mwr, mwg, mwb), (Lr, Lg, Lb))
             acc = acc.at[0].add(
                 jnp.stack([jnp.sum(jnp.where(term, Lr, 0.0)),
                            jnp.sum(jnp.where(term, Lg, 0.0)),
                            jnp.sum(jnp.where(term, Lb, 0.0))])
             )
         else:
-            cw2 = pool // 2
-            tranks = jnp.cumsum(term.astype(jnp.int32)) - 1
-            tcnt = tranks[-1] + 1
-
-            def retire_dense(acc):
-                lr, lg, lb = Lr, Lg, Lb
-                if do_sky:
-                    md = Vec3(mdx, mdy, mdz)
-                    missed = (md.x != 0.0) | (md.y != 0.0) | (md.z != 0.0)
-                    lr, lg, lb = sky_add(missed, md, (mwr, mwg, mwb), (lr, lg, lb))
-                idx = jnp.where(term, pix, n_pix)  # row n_pix = discard
-                vals = jnp.stack(
-                    [jnp.where(term, lr, 0.0),
-                     jnp.where(term, lg, 0.0),
-                     jnp.where(term, lb, 0.0)], axis=-1,
-                )
-                return acc.at[idx].add(vals)
-
-            def retire_compact(acc):
-                slot = jnp.where(term & (tranks < cw2), tranks, cw2)
-                lane = (
-                    jnp.zeros((cw2 + 1,), jnp.int32)
-                    .at[slot]
-                    .set(jnp.arange(pool, dtype=jnp.int32), mode="drop")[:cw2]
-                )
-                in_slot = jnp.arange(cw2, dtype=jnp.int32) < tcnt
-                g = lambda a: jnp.take(a, lane, axis=0)
-                lr, lg, lb = g(Lr), g(Lg), g(Lb)
-                if do_sky:
-                    md = Vec3(g(mdx), g(mdy), g(mdz))
-                    missed = in_slot & (
-                        (md.x != 0.0) | (md.y != 0.0) | (md.z != 0.0)
-                    )
-                    lr, lg, lb = sky_add(
-                        missed, md, (g(mwr), g(mwg), g(mwb)), (lr, lg, lb)
-                    )
-                idx = jnp.where(in_slot, g(pix), n_pix)
-                vals = jnp.stack(
-                    [jnp.where(in_slot, lr, 0.0),
-                     jnp.where(in_slot, lg, 0.0),
-                     jnp.where(in_slot, lb, 0.0)], axis=-1,
-                )
-                return acc.at[idx].add(vals)
-
-            acc = jax.lax.cond(tcnt > cw2, retire_dense, retire_compact, acc)
-
-        if "assign" in ab:
-            # timing stub: skip the queue work (cumsum + table gathers);
-            # lanes restart in place — image meaningless, shape preserved
-            flag = carry[0]
-            need = flag < 0.5
-            n_need = jnp.sum(need.astype(jnp.int32))
-            valid = need & (q < n_work)
-            q = jnp.minimum(q + n_need, n_work)
-            carry = list(carry)
-            carry[0] = jnp.where(valid, 3.0, flag)
-            carry = tuple(carry)
-        else:
-            carry, xs, ys, samp, pix, q = assign(tuple(carry), xs, ys, samp, pix, q)
-        return q, stats, acc, carry, xs, ys, samp, pix
+            idx = jnp.where(term, pix_prev, n_pix)  # row n_pix = discard
+            vals = jnp.stack(
+                [jnp.where(term, Lr, 0.0),
+                 jnp.where(term, Lg, 0.0),
+                 jnp.where(term, Lb, 0.0)], axis=-1,
+            )
+            acc = acc.at[idx].add(vals)
+        return q, stats, acc, tuple(carry), xs, ys, samp, pix, hitc
 
     stats0 = (jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0))
-    init = (q0, stats0, acc0, carry0, xs0, ys0, samp0, pix0)
+    hitc0 = (izero - 1, zero, zero, zero)
+    init = (q0, stats0, acc0, carry0, xs0, ys0, samp0, pix0, hitc0)
     if python_loop:
         # tests only (see sample_batch_mesh_fused): the interpret-mode
         # kernel emulation inside a while_loop is too large for the CPU

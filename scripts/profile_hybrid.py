@@ -49,12 +49,12 @@ kw = dict(xs_tab=r._mxs, ys_tab=r._mys, sample_base=jnp.int32(0),
 
 t0 = time.time()
 img, stats = step(*args, **kw)
-jax.block_until_ready(img)
+np.asarray(img)
 print(f"compile+first: {time.time()-t0:.1f}s", flush=True)
 
 t0 = time.time()
 img, stats = step(*args, **kw)
-jax.block_until_ready(img)
+np.asarray(img)
 dt = time.time() - t0
 iters = int(stats["iterations"])
 print(
@@ -70,7 +70,7 @@ trace_dir = "/tmp/hybrid_trace"
 os.system(f"rm -rf {trace_dir}")
 with jax.profiler.trace(trace_dir):
     img, stats = step(*args, **kw)
-    jax.block_until_ready(img)
+    np.asarray(img)
 
 paths = glob.glob(f"{trace_dir}/**/*.trace.json.gz", recursive=True)
 if not paths:

@@ -1,0 +1,68 @@
+"""Sweep the hybrid driver's shade_width / retire mode on hardware.
+
+    python scripts/sweep_hybrid.py [scheme] [spp]
+"""
+import os
+import sys
+import time
+from functools import partial
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+from raytrace_tpu.models.config import load_scheme
+from raytrace_tpu.render.renderer import Renderer
+from raytrace_tpu.render import fused_mesh as fm
+
+scheme_path = sys.argv[1] if len(sys.argv) > 1 else "/root/reference/schemes/biplane.yml"
+spp = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+
+scheme = load_scheme(scheme_path)
+r = Renderer(scheme, use_mesh_fused=True, use_fused=False)
+assert r.use_mesh_fused
+scene_dev = jax.device_put(r.scene)
+n_work = r.width * r.height * spp
+pool = r.mf_pool
+args = (r._mtables, r._mcam_vec, scene_dev, r.cam_arrays, r.params)
+kw = dict(xs_tab=r._mxs, ys_tab=r._mys, sample_base=jnp.int32(0),
+          n_samples=jnp.int32(spp))
+
+configs = [(pool // 4, "dense_shade"), (pool // 4, ""),
+           (pool // 4, "dense_shade,scatter")]
+
+ref_mean = None
+for cw, ablate in configs:
+    step = jax.jit(partial(
+        fm.wavefront_mesh_fused, width=r.width, height=r.height,
+        pool=pool, has_lens=False, hints=r._mhints, return_stats=True,
+        shade_width=cw, ablate=ablate,
+    ))
+    t0 = time.time()
+    img, stats = step(*args, **kw)
+    np.asarray(img); jax.block_until_ready(stats)
+    tc = time.time() - t0
+    best = 1e9
+    for _ in range(2):
+        t0 = time.time()
+        img, stats = step(*args, **kw)
+        np.asarray(img); jax.block_until_ready(stats)
+        best = min(best, time.time() - t0)
+    iters = int(stats["iterations"])
+    mean = np.asarray(img).sum(0) / (r.width * r.height * spp)
+    if ref_mean is None:
+        ref_mean = mean
+    drift = np.abs(mean - ref_mean).max()
+    print(
+        f"cw={cw} ({pool//cw}x) ablate='{ablate}': compile {tc:.0f}s, "
+        f"{best:.2f}s = {best/iters*1e3:.1f} ms/iter x {iters}, "
+        f"pend avg {int(stats['pend_sum'])/max(iters,1)/pool:.3f}, "
+        f"{n_work/best/1e6:.2f} Mpaths/s, mean drift {drift:.2e}",
+        flush=True,
+    )

@@ -130,3 +130,29 @@ def test_wavefront_mesh_fused_sample_base():
         interpret=True, python_loop=True,
     )
     _assert_close(np.asarray(out), ref, 1)
+
+
+def test_wavefront_mesh_fused_deferral():
+    """Fixed-width pend-shade deferral: with shade_width far below the
+    per-iteration pend production, lanes carry flag==2 + hit info
+    across kernel launches (mesh_bounce_kernel `deferred` branch) and
+    are shaded in later iterations. Radiance per (pixel, sample) must
+    be unchanged vs the undeferred driver — deferral only moves WHEN a
+    bounce completes, never its draws or arithmetic."""
+    scheme, scene, camera, cam, xs, ys, params, tables, hints, cam_vec = _setup()
+    kw = dict(
+        width=W, height=H, xs_tab=xs, ys_tab=ys,
+        sample_base=jnp.int32(0), n_samples=jnp.int32(1), pool=1024,
+        has_lens=False, hints=hints, interpret=True, python_loop=True,
+        return_stats=True,
+    )
+    ref, rstats = fm.wavefront_mesh_fused(
+        tables, cam_vec, scene, cam, params, **kw
+    )
+    out, dstats = fm.wavefront_mesh_fused(
+        tables, cam_vec, scene, cam, params, shade_width=128, **kw
+    )
+    assert int(dstats["iterations"]) > int(rstats["iterations"]), (
+        "shade_width=128 should force deferral iterations"
+    )
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
