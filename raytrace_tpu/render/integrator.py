@@ -555,10 +555,11 @@ def mesh_attrs_dense(scene, mi, bu, bv):
             ok = wid > 0
             base3 = jnp.where(ok, off + 3 * (px + py * wid), 0)
             z = jnp.float32(0.0)
+            rgb = _fetch_rgb(scene.tex_pool, base3)
             return ok, Vec3(
-                jnp.where(ok, jnp.take(scene.tex_pool, base3, mode="clip"), z),
-                jnp.where(ok, jnp.take(scene.tex_pool, base3 + 1, mode="clip"), z),
-                jnp.where(ok, jnp.take(scene.tex_pool, base3 + 2, mode="clip"), z),
+                jnp.where(ok, rgb.x, z),
+                jnp.where(ok, rgb.y, z),
+                jnp.where(ok, rgb.z, z),
             )
 
         # raw [0,1] texel used as the tangent-space vector —

@@ -34,8 +34,10 @@ args = (r._mtables, r._mcam_vec, scene_dev, r.cam_arrays, r.params)
 kw = dict(xs_tab=r._mxs, ys_tab=r._mys, sample_base=jnp.int32(0),
           n_samples=jnp.int32(spp))
 
-configs = [(pool // 4, "dense_shade"), (pool // 4, ""),
-           (pool // 4, "dense_shade,scatter")]
+import json
+configs = json.loads(os.environ.get(
+    "SWEEP_CONFIGS", '[[4, ""], [2, ""], [4, "dense_shade"]]'))
+configs = [(pool // int(f_) if int(f_) else pool, ab) for f_, ab in configs]
 
 ref_mean = None
 for cw, ablate in configs:
