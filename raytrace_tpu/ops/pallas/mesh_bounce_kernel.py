@@ -26,8 +26,13 @@ there is no queue, no scatter, no cumsum, and radiance accumulates
 per lane.
 
 Lane protocol (flag): 0 = dead (all samples consumed), 1 = ray ready
-for intersection, 2 = mesh-shade pending (this kernel never receives 2;
-the driver resolves them before the next call), 3 = freshly assigned by
+for intersection, 2 = mesh-shade pending. In spl > 1 (pixel-bound)
+mode the kernel never receives 2 — the driver resolves every pend lane
+before the next call. In spl == 1 (queue) mode the driver's
+fixed-width shade may DEFER pend lanes past its compile-time width:
+those re-enter still flagged 2 and the kernel's `deferred` branch
+skips them entirely (no intersection, no draws — their RNG state must
+stay untouched until the driver shades them). 3 = freshly assigned by
 the queue driver (spl == 1 only): the kernel raygens it from
 (xs, ys, samp) before intersecting.
 

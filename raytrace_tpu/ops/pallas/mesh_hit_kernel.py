@@ -206,8 +206,12 @@ def pack_mesh_tables_np(cl_idx, cl_lo, cl_hi, cl_v0, cl_e1, cl_e2, cam_o=None):
     if cam_o is not None and C:
         cam = np.asarray(cam_o, np.float32).reshape(1, 3)
         valid = lo[:, 0] <= hi[:, 0]
-        d = np.linalg.norm(np.clip(cam, lo, hi) - cam, axis=1)
-        d = np.where(valid, d, np.inf)  # padding clusters sort last
+        # padding clusters sort last; compute distances only over valid
+        # rows (clip on an inverted +-3e38 AABB overflows f32 in norm)
+        d = np.full((Cp,), np.inf, np.float32)
+        d[valid] = np.linalg.norm(
+            np.clip(cam, lo[valid], hi[valid]) - cam, axis=1
+        )
         S = Cp // GROUP
         dg = d.reshape(S, GROUP)
         within = np.argsort(dg, axis=1, kind="stable")  # (S, GROUP)

@@ -410,7 +410,10 @@ def wavefront_mesh_fused(
     def body(c):
         q, stats, acc, carry, xs, ys, samp, pix, hitc = c
         was_active = carry[0] > 0.5
-        stats = (stats[0] + 1, stats[1] + jnp.sum(was_active.astype(jnp.int32)),
+        # deferred lanes (flag == 2 at launch) are skipped by the
+        # kernel — don't count them as bounce work in lane_bounces
+        did_work = was_active & ~((carry[0] > 1.5) & (carry[0] < 2.5))
+        stats = (stats[0] + 1, stats[1] + jnp.sum(did_work.astype(jnp.int32)),
                  stats[2], stats[3])
         carry2d, outs = bounce_tiles(
             r2(xs), r2(ys), r2(samp), tuple(r2(a) for a in carry),
@@ -466,8 +469,13 @@ def wavefront_mesh_fused(
 
         flag_pre_shade = carry[0]
         if "shade" in ab:
-            # stub the mesh-pend XLA stage: pend lanes just retire
-            carry[0] = jnp.where(carry[0] > 1.5, 0.0, carry[0])
+            # stub the mesh-pend XLA stage: pend lanes just retire.
+            # Only flag == 2 (pend) — freshly refilled lanes are flag 3
+            # and must survive to trace, or occupancy collapses and the
+            # ablation's timing signal is meaningless.
+            carry[0] = jnp.where(
+                (carry[0] > 1.5) & (carry[0] < 2.5), 0.0, carry[0]
+            )
             carry = tuple(carry)
         elif "dense_shade" in ab:
             carry = _mesh_shade(

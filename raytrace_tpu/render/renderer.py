@@ -487,15 +487,56 @@ class Renderer:
                     )
 
                 self._multi_step, _ = make_spp_sharded_step(self._mesh1d, _win, {})
+
+            # the plain integrator multi-device step is always built:
+            # it backs the unfused driver AND the exact-tail path of
+            # _render_plain for every driver
+            def _pin(scene, cam, params, x_idx, y_idx, sample_base, n_samples):
+                return sample_batch(
+                    scene, cam, params, _w, _h, x_idx, y_idx,
+                    sample_base, n_samples,
+                )
+
+            self._multi_plain_step, _ = make_spp_sharded_step(self._mesh1d, _pin, {})
+            if not (self.use_fused or self.use_mesh_fused or self.use_wavefront):
+                self._multi_step = self._multi_plain_step
+
+    def _render_plain(self, scene_dev, base: int, n: int) -> int:
+        """Run n samples (exactly, unless the multi-device step
+        truncates to a device multiple — the remainder re-enters via
+        the render() loop and lands here single-device) through the
+        plain integrator tile loop; accumulate into the target and
+        return the number of samples actually rendered."""
+        nd = self.n_devices
+        n_pix = self.width * self.height
+        use_multi = self._mesh1d is not None and n >= nd
+        n_w = (n // nd) * nd if use_multi else n
+        tile_sums = []
+        for ti in range(self.n_tiles):
+            if use_multi:
+                out = self._multi_plain_step(
+                    scene_dev, self.cam_arrays, self.params,
+                    jnp.asarray(self._x_idx[ti]), jnp.asarray(self._y_idx[ti]),
+                    jnp.int32(base), jnp.int32(n_w // nd),
+                )
             else:
-
-                def _pin(scene, cam, params, x_idx, y_idx, sample_base, n_samples):
-                    return sample_batch(
-                        scene, cam, params, _w, _h, x_idx, y_idx,
-                        sample_base, n_samples,
-                    )
-
-                self._multi_step, _ = make_spp_sharded_step(self._mesh1d, _pin, {})
+                out = self._step(
+                    scene_dev,
+                    self.cam_arrays,
+                    self.params,
+                    x_idx=jnp.asarray(self._x_idx[ti]),
+                    y_idx=jnp.asarray(self._y_idx[ti]),
+                    sample_base=jnp.int32(base),
+                    n_samples=jnp.int32(n_w),
+                )
+            tile_sums.append(np.asarray(out))
+        flat = np.concatenate(tile_sums, axis=0)
+        if self._pad:
+            flat = flat[:n_pix]
+        res = np.empty((n_pix, 3), np.float32)
+        res[self._perm] = flat
+        self.target.add(res, n_w)
+        return n_w
 
     def render(
         self,
@@ -576,8 +617,8 @@ class Renderer:
                         self._fxs, self._fys, self._frep,
                         jnp.int32(base), jnp.int32(n_f // nd),
                     )
-                else:
-                    n_f = max(self.spd, (n // self.spd) * self.spd)
+                elif n >= self.spd:
+                    n_f = (n // self.spd) * self.spd
                     out = self._fstep(
                         self._tables,
                         self._cam_vec,
@@ -589,9 +630,18 @@ class Renderer:
                         sample_base=jnp.int32(base),
                         n_samples=jnp.int32(n_f),
                     )
-                res = np.empty((n_pix, 3), np.float32)
-                res[self._perm] = np.asarray(out)[:n_pix]
-                self.target.add(res, n_f)
+                else:
+                    # tail smaller than one packed dispatch: run EXACTLY
+                    # n samples through the plain integrator tile loop
+                    # (same per-(pixel, sample) counter streams) so
+                    # render(samples=k) adds exactly k — never rounded
+                    # up to samples_per_dispatch
+                    out = None
+                    n_f = self._render_plain(scene_dev, base, n)
+                if out is not None:
+                    res = np.empty((n_pix, 3), np.float32)
+                    res[self._perm] = np.asarray(out)[:n_pix]
+                    self.target.add(res, n_f)
                 n = n_f
             elif self.use_mesh_fused:
                 if self._mesh1d is not None and n >= nd:
@@ -639,34 +689,7 @@ class Renderer:
                 self.target.add(np.asarray(out), n_w)
                 n = n_w
             else:
-                use_multi = self._mesh1d is not None and n >= nd
-                n_w = (n // nd) * nd if use_multi else n
-                tile_sums = []
-                for ti in range(self.n_tiles):
-                    if use_multi:
-                        out = self._multi_step(
-                            scene_dev, self.cam_arrays, self.params,
-                            jnp.asarray(self._x_idx[ti]), jnp.asarray(self._y_idx[ti]),
-                            jnp.int32(base), jnp.int32(n_w // nd),
-                        )
-                    else:
-                        out = self._step(
-                            scene_dev,
-                            self.cam_arrays,
-                            self.params,
-                            x_idx=jnp.asarray(self._x_idx[ti]),
-                            y_idx=jnp.asarray(self._y_idx[ti]),
-                            sample_base=jnp.int32(base),
-                            n_samples=jnp.int32(n_w),
-                        )
-                    tile_sums.append(np.asarray(out))
-                flat = np.concatenate(tile_sums, axis=0)
-                if self._pad:
-                    flat = flat[:n_pix]
-                res = np.empty((n_pix, 3), np.float32)
-                res[self._perm] = flat
-                self.target.add(res, n_w)
-                n = n_w
+                n = self._render_plain(scene_dev, base, n)
             rendered += n
             meter.add(n * n_pix)
             if bar is not None:

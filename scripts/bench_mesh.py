@@ -150,12 +150,12 @@ def main():
         step = jax.jit(lambda sc, c, b: sample_batch(sc, c, params, W, H, xs, ys, b, 1))
         t0 = time.time()
         out = step(scene, cam, jnp.int32(0))
-        out.block_until_ready()
+        np.asarray(out)  # axon: block_until_ready does not fence
         print(f"compile+first: {time.time()-t0:.1f}s", flush=True)
         t0 = time.time()
         for s in range(SPP):
             out = step(scene, cam, jnp.int32(1 + s))
-        out.block_until_ready()
+        np.asarray(out)  # axon: block_until_ready does not fence
         dt = time.time() - t0
     else:
         from functools import partial
@@ -168,14 +168,14 @@ def main():
                                sort_lanes=sort_lanes))
         t0 = time.time()
         out = step(scene, cam, params, xs, ys, jnp.int32(0), jnp.int32(1))
-        out.block_until_ready()
+        np.asarray(out)  # axon: block_until_ready does not fence
         print(f"compile+first: {time.time()-t0:.1f}s", flush=True)
         # one dispatch per spp: at this scale a multi-spp dispatch can
         # outlive the TPU runtime watchdog
         t0 = time.time()
         for s in range(SPP):
             out = step(scene, cam, params, xs, ys, jnp.int32(1 + s), jnp.int32(1))
-        out.block_until_ready()
+        np.asarray(out)  # axon: block_until_ready does not fence
         dt = time.time() - t0
     pps = W * H * SPP / dt
     print(f"steady: {dt:.1f}s for {SPP} spp -> {pps/1e6:.3f} Mpaths/s "

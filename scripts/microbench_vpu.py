@@ -13,11 +13,17 @@ Questions answered (each is one small pallas_call):
      cheaper stream) vs hw prng_random_bits.
 
 Method: each kernel loops `reps` times over a resident VMEM block
-doing DEPTH dependent ops per rep. The dispatch round-trip through the
-axon tunnel is ~150 ms — far above kernel time — so each variant is
-timed at reps=R and reps=2R and the SLOPE (t2-t1)/(R*DEPTH*lanes)
-gives the per-op cost with the fixed overhead cancelled. The
-dependence chain defeats dead-code elimination.
+doing DEPTH dependent ops per rep. Each variant is timed at reps=R and
+reps=4R and the SLOPE (t4-t1)/(3R*DEPTH*lanes) gives the per-op cost
+with fixed dispatch overhead cancelled; BOTH raw times are printed so
+a non-linear pair (loop eliminated / overhead-dominated) is visible
+instead of silently producing nonsense — the round-2 version printed
+only the slope and its rep counts timed ~equal, which went unnoticed.
+The dependence chain defeats dead-code elimination.
+
+ANSWERS (v5e, 2026-08-20, raw numbers in BENCH_NOTES.md round 3):
+bf16 fma-chain = 0.91x f32 (NO packed-bf16 VPU gain on this chip) —
+the bf16 intersection pre-pass is written off.
 """
 import functools
 import os
@@ -33,25 +39,30 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 ROWS = 512          # f32 lanes per block: ROWS x 128
-R1, R2 = 262144, 524288  # slope between these cancels dispatch overhead
+R1, R2 = 65536, 262144  # slope between these cancels dispatch overhead
 DEPTH = 32
 _U32 = jnp.uint32
 
 
 def _time(fn, *args, n=3):
-    out = fn(*args)
-    jax.block_until_ready(out)
+    # fence with a host readback: on the axon platform
+    # block_until_ready returns before the device work completes
+    # (measured round 3 — repeated fenced-by-block calls timed 0.1 ms
+    # while np.asarray-fenced calls timed the real 105 ms), which is
+    # what silently broke this script's round-2 numbers
+    np.asarray(fn(*args))
     best = float("inf")
     for _ in range(n):
         t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out)
+        np.asarray(fn(*args))
         best = min(best, time.perf_counter() - t0)
     return best
 
 
 def _slope(make_kernel, x):
-    """Per-(lane*DEPTH*rep) op time via two-point slope."""
+    """Per-(lane*DEPTH*rep) op time via two-point slope. Returns
+    (t1, t2, slope, ops_per_s); callers print t1/t2 so a broken pair
+    (t2 !~ 4*t1) is visible."""
     ts = []
     for reps in (R1, R2):
         kernel = make_kernel(reps)
@@ -63,7 +74,7 @@ def _slope(make_kernel, x):
         )
         ts.append(_time(jax.jit(f), x))
     n_ops = ROWS * 128 * (R2 - R1) * DEPTH
-    return ts[1] - ts[0], n_ops / max(ts[1] - ts[0], 1e-9)
+    return ts[0], ts[1], ts[1] - ts[0], n_ops / max(ts[1] - ts[0], 1e-9)
 
 
 def mul_chain(dtype):
@@ -83,8 +94,8 @@ def mul_chain(dtype):
 
         return kernel
 
-    dt, ops_s = _slope(make, a)
-    return dt, ops_s * 2 / 1e12  # fma = 2 flop
+    t1, t2, dt, ops_s = _slope(make, a)
+    return t1, t2, ops_s * 2 / 1e12  # fma = 2 flop
 
 
 def sqrt_chain(op):
@@ -104,8 +115,8 @@ def sqrt_chain(op):
 
         return kernel
 
-    dt, ops_s = _slope(make, a)
-    return dt, ops_s / 1e12
+    t1, t2, dt, ops_s = _slope(make, a)
+    return t1, t2, ops_s / 1e12
 
 
 def rng_chain(kind):
@@ -148,8 +159,8 @@ def rng_chain(kind):
 
         return kernel
 
-    dt, ops_s = _slope(make, a)
-    return dt, ops_s / 1e9
+    t1, t2, dt, ops_s = _slope(make, a)
+    return t1, t2, ops_s / 1e9
 
 
 def hw_rng():
@@ -171,24 +182,27 @@ def hw_rng():
 
         return kernel
 
-    dt, ops_s = _slope(make, a)
-    return dt, ops_s / 1e9
+    t1, t2, dt, ops_s = _slope(make, a)
+    return t1, t2, ops_s / 1e9
 
 
 def main():
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     print(f"device: {jax.devices()[0]}", flush=True)
+    def raw(t1, t2):
+        return f"t1 {t1*1e3:8.2f} ms  t4 {t2*1e3:8.2f} ms"
+
     for dt_name, dtype in (("f32", jnp.float32), ("bf16", jnp.bfloat16)):
-        t, tflops = mul_chain(dtype)
-        print(f"fma-chain {dt_name:5s}: slope {t*1e3:8.2f} ms  {tflops:6.3f} Tflop/s", flush=True)
+        t1, t2, tflops = mul_chain(dtype)
+        print(f"fma-chain {dt_name:5s}: {raw(t1, t2)}  {tflops:6.3f} Tflop/s", flush=True)
     for op in ("sqrt", "rsqrt"):
-        t, tops = sqrt_chain(op)
-        print(f"{op:5s} chain    : slope {t*1e3:8.2f} ms  {tops:6.3f} Top/s", flush=True)
+        t1, t2, tops = sqrt_chain(op)
+        print(f"{op:5s} chain    : {raw(t1, t2)}  {tops:6.3f} Top/s", flush=True)
     for kind in ("pcg", "weyl"):
-        t, tdraw = rng_chain(kind)
-        print(f"rng {kind:5s} draw : slope {t*1e3:8.2f} ms  {tdraw:6.2f} Gdraw/s", flush=True)
-    t, tdraw = hw_rng()
-    print(f"rng hw    draw : slope {t*1e3:8.2f} ms  {tdraw:6.2f} Gdraw/s", flush=True)
+        t1, t2, tdraw = rng_chain(kind)
+        print(f"rng {kind:5s} draw : {raw(t1, t2)}  {tdraw:6.2f} Gdraw/s", flush=True)
+    t1, t2, tdraw = hw_rng()
+    print(f"rng hw    draw : {raw(t1, t2)}  {tdraw:6.2f} Gdraw/s", flush=True)
 
 
 if __name__ == "__main__":

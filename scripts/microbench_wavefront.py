@@ -66,11 +66,11 @@ pix = y * W + x
 
 def timeit(name, fn, *args):
     out = fn(*args)
-    jax.block_until_ready(out)
+    np.asarray(out)  # axon: block_until_ready does not fence
     t0 = time.time()
     for _ in range(10):
         out = fn(*args)
-    jax.block_until_ready(out)
+    np.asarray(out)  # axon: block_until_ready does not fence
     print(f"{name:28s} {(time.time() - t0) / 10 * 1e3:8.2f} ms")
     return out
 

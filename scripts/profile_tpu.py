@@ -43,12 +43,12 @@ step = jax.jit(
 
 t0 = time.time()
 out = step(scene, cam, x_idx, y_idx, jnp.int32(0), jnp.int32(1))
-out.block_until_ready()
+np.asarray(out)  # axon: block_until_ready does not fence
 print(f"compile+first: {time.time()-t0:.2f}s", flush=True)
 
 t0 = time.time()
 out = step(scene, cam, x_idx, y_idx, jnp.int32(1), jnp.int32(SPP))
-out.block_until_ready()
+np.asarray(out)  # axon: block_until_ready does not fence
 dt = time.time() - t0
 paths = W * H * SPP
 print(f"steady: {dt:.3f}s for {SPP} spp -> {paths/dt/1e6:.1f} Mpaths/s", flush=True)

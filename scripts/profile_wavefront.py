@@ -47,13 +47,13 @@ step = jax.jit(
 t0 = time.time()
 img, stats = step(scene_dev, r.cam_arrays, r.params, r._wxs, r._wys,
                   jnp.int32(0), jnp.int32(spp))
-jax.block_until_ready(img)
+np.asarray(img)  # axon: block_until_ready does not fence
 print(f"compile+first: {time.time()-t0:.1f}s")
 
 t0 = time.time()
 img, stats = step(scene_dev, r.cam_arrays, r.params, r._wxs, r._wys,
                   jnp.int32(0), jnp.int32(spp))
-jax.block_until_ready(img)
+np.asarray(img)  # axon: block_until_ready does not fence
 dt = time.time() - t0
 iters = int(stats["iterations"])
 lb = int(stats["lane_bounces"])
@@ -70,7 +70,7 @@ os.system(f"rm -rf {trace_dir}")
 with jax.profiler.trace(trace_dir):
     img, stats = step(scene_dev, r.cam_arrays, r.params, r._wxs, r._wys,
                       jnp.int32(0), jnp.int32(spp))
-    jax.block_until_ready(img)
+    np.asarray(img)  # axon: block_until_ready does not fence
 
 # aggregate the perfetto trace by op name
 paths = glob.glob(f"{trace_dir}/**/*.trace.json.gz", recursive=True)
