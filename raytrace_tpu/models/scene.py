@@ -96,8 +96,9 @@ class SceneArrays:
     # mesh_hit_kernel.pack_mesh_tables_np): packing inside the traced
     # bounce loop is loop-invariant in principle but scatters in the
     # packers defeat hoisting in practice ---
-    mk_bounds: Any  # (Cp, 8) f32, Cp = C padded to GROUP
+    mk_bounds: Any  # (Cp, 8) f32, Cp = C padded to GROUP*SGROUP
     mk_sbounds: Any  # (Cp/GROUP, 8) f32 supercluster AABBs
+    mk_sgbounds: Any  # (Cp/GROUP/SGROUP, 8) f32 supergroup AABBs (level 3)
     mk_tri: Any  # (Cp, W/8, 128) f32
     # --- cubemap ---
     cm_offsets: Any  # (6,) i32
@@ -423,11 +424,11 @@ def build_scene(scheme: Scheme, pad_mult: int = 2048, pad_small: int = 8) -> Sce
         )
         from ..ops.pallas.mesh_hit_kernel import pack_mesh_tables_np
 
-        mkb, mks, mkt = pack_mesh_tables_np(
+        mkb, mks, mksg, mkt = pack_mesh_tables_np(
             kw["cl_idx"], cl_lo, cl_hi, kw["cl_v0"], kw["cl_e1"], kw["cl_e2"],
             cam_o=np.asarray(scheme.cam.o, np.float32),
         )
-        kw.update(mk_bounds=mkb, mk_sbounds=mks, mk_tri=mkt)
+        kw.update(mk_bounds=mkb, mk_sbounds=mks, mk_sgbounds=mksg, mk_tri=mkt)
 
         any_tex = bool(
             (mt["rgb_tex"][:, 1] > 0).any()
@@ -490,6 +491,7 @@ def build_scene(scheme: Scheme, pad_mult: int = 2048, pad_small: int = 8) -> Sce
             cl_lo=z3, cl_hi=z3,
             mk_bounds=np.zeros((0, 8), np.float32),
             mk_sbounds=np.zeros((0, 8), np.float32),
+            mk_sgbounds=np.zeros((0, 8), np.float32),
             mk_tri=np.zeros((0, 1, 128), np.float32),
             mt_v0=z3, mt_e1=z3, mt_e2=z3, mt_const_norm=z3,
             mt_nrm_mat=np.zeros((0, 3, 3), np.float32),

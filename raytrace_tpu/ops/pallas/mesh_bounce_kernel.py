@@ -26,15 +26,23 @@ there is no queue, no scatter, no cumsum, and radiance accumulates
 per lane.
 
 Lane protocol (flag): 0 = dead (all samples consumed), 1 = ray ready
-for intersection, 2 = mesh-shade pending. In spl > 1 (pixel-bound)
-mode the kernel never receives 2 — the driver resolves every pend lane
-before the next call. In spl == 1 (queue) mode the driver's
-fixed-width shade may DEFER pend lanes past its compile-time width:
-those re-enter still flagged 2 and the kernel's `deferred` branch
-skips them entirely (no intersection, no draws — their RNG state must
-stay untouched until the driver shades them). 3 = freshly assigned by
-the queue driver (spl == 1 only): the kernel raygens it from
-(xs, ys, samp) before intersecting.
+for intersection, 2 = mesh-shade pending. In pixel-bound mode
+(queue=False) the kernel never receives 2 — the driver resolves every
+pend lane before the next call. In queue mode the driver's fixed-width
+shade may DEFER pend lanes past its compile-time width: those re-enter
+still flagged 2 and the kernel's `deferred` branch skips them entirely
+(no intersection, no draws — their RNG state must stay untouched until
+the driver shades them). 3 = freshly assigned by the queue driver
+(queue=True only): the kernel raygens it from (xs, ys, samp) before
+intersecting.
+
+queue and spl are independent statics (round 3): queue mode with
+spl > 1 runs CHUNKED work units — a refilled lane owns up to spl
+consecutive sample ids of ONE pixel and regenerates in-kernel
+(sample id = samp + sk), bounded by the per-lane `lim` carry (the
+driver hands out short chunks at the end of the sample range), so the
+queue-refill cumsum and the retirement radiance scatter are paid once
+per CHUNK instead of once per path.
 
 RNG/draw parity with render/integrator._bounce_step (mesh scenes draw
 8 uniforms per bounce): miss / sphere / free-tri lanes consume all 8
@@ -79,26 +87,27 @@ TRI_COLS = 16  # mesh triangle record (see mesh_hit_kernel)
 def _kernel(
     # static lane grids + scalars
     xs_ref, ys_ref, samp_ref,
-    # carry in (17)
+    # carry in (18)
     flag_ref, sk_ref, state_ref,
     ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
     cir_ref, cig_ref, cib_ref, inten_ref,
-    lr_ref, lg_ref, lb_ref, depth_ref,
+    lr_ref, lg_ref, lb_ref, depth_ref, lim_ref,
     # scene tables
-    sph_ref, ft_ref, cam_ref, bounds_ref, sbounds_ref, tri_hbm,
-    # carry out (17)
+    sph_ref, ft_ref, cam_ref, bounds_ref, sbounds_ref, sgbounds_ref, tri_hbm,
+    # carry out (18)
     flag_o, sk_o, state_o,
     ox_o, oy_o, oz_o, dx_o, dy_o, dz_o,
     cir_o, cig_o, cib_o, inten_o,
-    lr_o, lg_o, lb_o, depth_o,
+    lr_o, lg_o, lb_o, depth_o, lim_o,
     # per-iteration outputs
     gid_o, tt_o, bu_o, bv_o,
     mdx_o, mdy_o, mdz_o, mwr_o, mwg_o, mwb_o,
     # scratch
     tri_vmem, dma_sem,
-    *, n_sph: int, n_ft: int, n_super: int, group: int, width: int,
+    *, n_sph: int, n_ft: int, n_super: int, group: int, n_sg: int,
+    sgroup: int, width: int,
     has_lens: bool, assured: int, max_bounces: int, spl: int,
-    hints: SceneHints,
+    queue: bool, hints: SceneHints,
 ):
     xs = xs_ref[...].astype(jnp.float32)
     ys = ys_ref[...].astype(jnp.float32)
@@ -158,14 +167,15 @@ def _kernel(
     inten = inten_ref[...]
     lr, lg, lb = lr_ref[...], lg_ref[...], lb_ref[...]
     depth = depth_ref[...]
+    lim = lim_ref[...]
     samp0 = samp_ref[...].astype(_U32)
 
-    if spl == 1:
+    if queue:
         # queue mode: lanes the driver refilled (flag == 3) raygen
         # in-kernel from their freshly-assigned (x, y, sample) AND
         # reset their path state — the driver's assign() only writes
-        # flag/x/y/samp, keeping its XLA stage to the cumsum + two
-        # table gathers + five selects
+        # flag/x/y/samp/pix/lim, keeping its XLA stage to the cumsum,
+        # two table gathers and six selects
         fresh = flag > 2.5
         # lanes still flag == 2 on entry are DEFERRED mesh-pend lanes
         # (the driver's fixed-width shade stage didn't reach them last
@@ -174,6 +184,7 @@ def _kernel(
         # from the carried state at shade time
         deferred = (flag > 1.5) & ~fresh
         stf, oxf, oyf, ozf, dxf, dyf, dzf = start_sample(samp0)
+        sk = jnp.where(fresh, 0.0, sk)
         state = jnp.where(fresh, stf, state)
         ox = jnp.where(fresh, oxf, ox)
         oy = jnp.where(fresh, oyf, oy)
@@ -241,13 +252,30 @@ def _kernel(
     def super_body(sI, _):
         @pl.when(jnp.any(slab_reach(sbounds_ref, sI)))
         def _():
-            cp = pltpu.make_async_copy(tri_hbm.at[sI], tri_vmem, dma_sem)
-            cp.start()
+            # Per-cluster DMA of REACHED clusters only (round 3): the
+            # earlier whole-group copy paid GROUP*W triangles for every
+            # reached supercluster — at a380 scale, miss-bound lanes
+            # (t_best = INF prunes nothing) reach most superclusters
+            # and the copy bytes dominated the launch. All reached
+            # clusters' copies start back-to-back on per-cluster
+            # semaphores before the first wait, so the ~µs DMA latency
+            # overlaps across clusters and with the tri math.
             reaches = [
                 jnp.any(slab_reach(bounds_ref, sI * group + cl))
                 for cl in range(group)
             ]
-            cp.wait()
+
+            def cl_copy(cl):
+                return pltpu.make_async_copy(
+                    tri_hbm.at[sI, pl.ds(cl * rows_per_cluster, rows_per_cluster)],
+                    tri_vmem.at[pl.ds(cl * rows_per_cluster, rows_per_cluster)],
+                    dma_sem.at[cl],
+                )
+
+            for cl in range(group):  # static unroll
+                @pl.when(reaches[cl])
+                def _(cl=cl):
+                    cl_copy(cl).start()
 
             for cl in range(group):  # static unroll
                 def row_body(w8, _, base=cl * rows_per_cluster):
@@ -283,12 +311,25 @@ def _kernel(
                     return 0
 
                 @pl.when(reaches[cl])
-                def _(row_body=row_body):
+                def _(row_body=row_body, cl=cl):
+                    cl_copy(cl).wait()
                     jax.lax.fori_loop(0, rows_per_cluster, row_body, 0)
 
         return 0
 
-    jax.lax.fori_loop(0, n_super, super_body, 0)
+    # level-3 cull: one supergroup slab test retires SGROUP supers
+    # (their always-paid per-block tests dominated at a380-scale
+    # supercluster counts). Single-supergroup scenes skip the wrapper.
+    if n_sg > 1:
+        def sg_body(g, _):
+            @pl.when(jnp.any(slab_reach(sgbounds_ref, g)))
+            def _():
+                jax.lax.fori_loop(g * sgroup, (g + 1) * sgroup, super_body, 0)
+            return 0
+
+        jax.lax.fori_loop(0, n_sg, sg_body, 0)
+    else:
+        jax.lax.fori_loop(0, n_super, super_body, 0)
 
     # ---- classification ----
     mesh_pend = active & (gid_o[...] >= 0)
@@ -306,7 +347,7 @@ def _kernel(
     st8, _u5 = _next_f32(st8)
     st8, _u6 = _next_f32(st8)
     st8, u7 = _next_f32(st8)
-    keep_state = mesh_pend if spl > 1 else (mesh_pend | deferred)
+    keep_state = (mesh_pend | deferred) if queue else mesh_pend
     state = jnp.where(keep_state, state, st8)
 
     # ---- sphere / free-tri shading (shared BSDF ops) ----
@@ -382,12 +423,14 @@ def _kernel(
     # ---- in-place sample regeneration (trace_kernel's spl trick; the
     # cubemap contribution of a missed lane is added by the driver from
     # the md/mw outputs, so the lane itself can restart immediately).
-    # spl == 1 (queue-refilled wavefront mode): regeneration is the
-    # DRIVER's job — statically drop the raygen/reseed block.
+    # spl == 1: a lane owns one sample — statically drop the
+    # raygen/reseed block (queue mode: the driver refills retirees).
+    # queue + spl > 1 (chunked): the regen bound is the per-lane lim
+    # carry, NOT the static spl — end-of-range chunks are short.
     alive = survive & (depth < float(max_bounces))
     if spl > 1:
         done = (miss | sphft_hit) & ~alive  # this lane's path ended
-        regen = done & (sk + 1.0 < float(spl))
+        regen = done & (sk + 1.0 < (lim if queue else float(spl)))
         sk = sk + jnp.where(regen, 1.0, 0.0)
         samp_u = samp0 + sk.astype(jnp.int32).astype(_U32)
         st2, ox2, oy2, oz2, dx2, dy2, dz2 = start_sample(samp_u)
@@ -426,31 +469,35 @@ def _kernel(
     lg_o[...] = lg
     lb_o[...] = lb
     depth_o[...] = depth
+    lim_o[...] = lim
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "n_sph", "n_ft", "n_clusters", "width", "has_lens", "assured",
-        "max_bounces", "spl", "hints", "interpret",
+        "max_bounces", "spl", "queue", "hints", "interpret",
     ),
 )
 def bounce_tiles(
-    xs, ys, samp, carry, sph_table, ft_table, cam_vec, bounds, sbounds, tri,
+    xs, ys, samp, carry, sph_table, ft_table, cam_vec, bounds, sbounds,
+    sgbounds, tri,
     n_sph: int, n_ft: int, n_clusters: int, width: int,
     has_lens: bool, assured: int, max_bounces: int, spl: int,
-    hints: SceneHints = _PERMISSIVE, interpret: bool = False,
+    queue: bool = False, hints: SceneHints = _PERMISSIVE,
+    interpret: bool = False,
 ):
     """One bounce for every lane. xs/ys: (R, 128) i32 pixel grids;
-    samp: (R, 128) i32 base sample id; carry: 17-tuple of (R, 128)
-    lane-state arrays in _CARRY order; mesh tables from
-    mesh_hit_kernel.pack_mesh_tables_np (n_clusters = padded Cp).
+    samp: (R, 128) i32 base sample id; carry: 18-tuple of (R, 128)
+    lane-state arrays in _CARRY order (..., depth, lim); mesh tables
+    from mesh_hit_kernel.pack_mesh_tables_np (n_clusters = padded Cp,
+    a GROUP*SGROUP multiple; sgbounds = level-3 supergroup AABBs).
     Returns (carry', gid, tt, bu, bv, md(3), mw(3))."""
-    from .mesh_hit_kernel import GROUP
+    from .mesh_hit_kernel import GROUP, SGROUP
 
     rows = xs.shape[0]
     assert rows % SUBLANES == 0, rows
-    assert n_clusters % GROUP == 0
+    assert n_clusters % (GROUP * SGROUP) == 0, n_clusters
     grid = rows // SUBLANES
     lane = pl.BlockSpec((SUBLANES, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
     smem = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.SMEM)
@@ -462,15 +509,16 @@ def bounce_tiles(
     out_shape = (
         [jax.ShapeDtypeStruct((rows, LANES), f32)] * 2  # flag, sk
         + [jax.ShapeDtypeStruct((rows, LANES), jnp.uint32)]  # state
-        + [jax.ShapeDtypeStruct((rows, LANES), f32)] * 14  # rays..depth
+        + [jax.ShapeDtypeStruct((rows, LANES), f32)] * 15  # rays..depth,lim
         + [jax.ShapeDtypeStruct((rows, LANES), jnp.int32)]  # gid
         + [jax.ShapeDtypeStruct((rows, LANES), f32)] * 9  # tt,bu,bv,md,mw
     )
     kernel = functools.partial(
         _kernel,
         n_sph=n_sph, n_ft=n_ft, n_super=n_clusters // GROUP, group=GROUP,
+        n_sg=n_clusters // GROUP // SGROUP, sgroup=SGROUP,
         width=width, has_lens=has_lens, assured=assured,
-        max_bounces=max_bounces, spl=spl, hints=hints,
+        max_bounces=max_bounces, spl=spl, queue=queue, hints=hints,
     )
     outs = pl.pallas_call(
         kernel,
@@ -479,20 +527,22 @@ def bounce_tiles(
             [lane] * 3
             + [lane] * 2  # flag, sk
             + [lane]  # state (u32)
-            + [lane] * 14
+            + [lane] * 15
             + [
                 smem(sph_table.shape), smem(ft_table.shape), smem(cam_vec.shape),
                 table(bounds, bounds_space),
                 table(sbounds, pltpu.SMEM if sbounds.shape[0] <= 512 else pltpu.VMEM),
+                table(sgbounds, pltpu.SMEM if sgbounds.shape[0] <= 512 else pltpu.VMEM),
                 pl.BlockSpec(memory_space=pl.ANY),
             ]
         ),
-        out_specs=[lane] * 27,
+        out_specs=[lane] * 28,
         out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((GROUP * (width // 8), 8 * TRI_COLS), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((GROUP,)),
         ],
         interpret=interpret,
-    )(xs, ys, samp, *carry, sph_table, ft_table, cam_vec, bounds, sbounds, tri)
-    return outs[:17], outs[17:]
+    )(xs, ys, samp, *carry, sph_table, ft_table, cam_vec, bounds, sbounds,
+      sgbounds, tri)
+    return outs[:18], outs[18:]

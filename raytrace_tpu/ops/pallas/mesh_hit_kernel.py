@@ -163,34 +163,39 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, seed_ref,
 
 
 GROUP = 16  # clusters per supercluster
+SGROUP = 8  # superclusters per supergroup (level-3 cull, round 3)
 _NOHIT_LO, _NOHIT_HI = 3.0e38, -3.0e38  # inverted AABB: slab never hits
 
 
 def pack_mesh_tables_np(cl_idx, cl_lo, cl_hi, cl_v0, cl_e1, cl_e2, cam_o=None):
     """Cluster arrays -> (bounds (Cp, 8), sbounds (S, 8),
-    tri (S, GROUP*W/8, 128)) numpy f32, Cp = C padded to a GROUP
-    multiple, S = Cp/GROUP. Runs ONCE at scene build. Triangle w of
-    cluster c at [c//GROUP, (c%GROUP)*(W/8) + w//8, (w%8)*16 + j];
-    gid packed as f32 in column 9 (exact below 2^24 triangles);
-    padding rows carry gid -1. Empty/padding clusters get inverted
-    AABBs so the slab test retires them; superclusters are unions of
-    GROUP consecutive clusters (build order is spatially local).
-    The supercluster-major table lets the kernel DMA a whole reached
-    group in one copy.
+    sgbounds (S/SGROUP, 8), tri (S, GROUP*W/8, 128)) numpy f32,
+    Cp = C padded to a GROUP*SGROUP multiple, S = Cp/GROUP. Runs ONCE
+    at scene build. Triangle w of cluster c at
+    [c//GROUP, (c%GROUP)*(W/8) + w//8, (w%8)*16 + j]; gid packed as
+    f32 in column 9 (exact below 2^24 triangles); padding rows carry
+    gid -1. Empty/padding clusters get inverted AABBs so the slab test
+    retires them; superclusters are unions of GROUP consecutive
+    clusters, supergroups unions of SGROUP consecutive superclusters
+    (build order is spatially local, so every level's AABB stays
+    compact — the level-3 cull retires SGROUP*GROUP clusters on one
+    slab test at a380-scale cluster counts).
 
-    cam_o (3,) enables FRONT-TO-BACK ordering: superclusters (whole
-    groups, membership unchanged so their union AABBs stay tight) and
-    clusters within each group are permuted by distance from cam_o to
-    their AABB. The kernels skip a cluster whose slab entry exceeds
-    the lane's current best t (`entry < tt` in slab_reach), so a
-    near-first visit order turns that test into real early
+    cam_o (3,) enables FRONT-TO-BACK ordering, hierarchically so
+    membership at every level keeps its BVH-contiguous (compact) span:
+    clusters sort within their supercluster, superclusters within
+    their supergroup, supergroups globally — all by distance from
+    cam_o to their AABB. The kernels skip a node whose slab entry
+    exceeds the lane's current best t (`entry < tt` in slab_reach), so
+    a near-first visit order turns that test into real early
     termination on primary rays — the role near/far ordering plays in
     the reference's KD traversal (accel/kdtree.rs:66-104). Perf-only:
     closest-hit is an argmin over all clusters in any order."""
     cl_idx = np.asarray(cl_idx)
     C, W = cl_idx.shape
     assert W % 8 == 0, W
-    Cp = -(-max(C, 1) // GROUP) * GROUP
+    granule = GROUP * SGROUP
+    Cp = -(-max(C, 1) // granule) * granule
     lo = np.full((Cp, 3), _NOHIT_LO, np.float32)
     hi = np.full((Cp, 3), _NOHIT_HI, np.float32)
     nonempty = (cl_idx >= 0).any(axis=1)
@@ -215,17 +220,27 @@ def pack_mesh_tables_np(cl_idx, cl_lo, cl_hi, cl_v0, cl_e1, cl_e2, cam_o=None):
         S = Cp // GROUP
         dg = d.reshape(S, GROUP)
         within = np.argsort(dg, axis=1, kind="stable")  # (S, GROUP)
-        gorder = np.argsort(dg.min(axis=1), kind="stable")  # (S,)
-        perm = (gorder[:, None] * GROUP + within[gorder]).reshape(-1)
+        dsup = dg.min(axis=1)  # (S,)
+        Sg = S // SGROUP
+        dsg = dsup.reshape(Sg, SGROUP)
+        within_s = np.argsort(dsg, axis=1, kind="stable")  # (Sg, SGROUP)
+        sg_order = np.argsort(dsg.min(axis=1), kind="stable")  # (Sg,)
+        sperm = (sg_order[:, None] * SGROUP + within_s[sg_order]).reshape(-1)
+        perm = (sperm[:, None] * GROUP + within[sperm]).reshape(-1)
         lo, hi, tri = lo[perm], hi[perm], tri[perm]
 
     bounds = np.concatenate([lo, hi, np.zeros((Cp, 2), np.float32)], axis=1)
-    slo = lo.reshape(Cp // GROUP, GROUP, 3).min(axis=1)
-    shi = hi.reshape(Cp // GROUP, GROUP, 3).max(axis=1)
-    sbounds = np.concatenate(
-        [slo, shi, np.zeros((Cp // GROUP, 2), np.float32)], axis=1
+    S = Cp // GROUP
+    slo = lo.reshape(S, GROUP, 3).min(axis=1)
+    shi = hi.reshape(S, GROUP, 3).max(axis=1)
+    sbounds = np.concatenate([slo, shi, np.zeros((S, 2), np.float32)], axis=1)
+    sglo = slo.reshape(S // SGROUP, SGROUP, 3).min(axis=1)
+    sghi = shi.reshape(S // SGROUP, SGROUP, 3).max(axis=1)
+    sgbounds = np.concatenate(
+        [sglo, sghi, np.zeros((S // SGROUP, 2), np.float32)], axis=1
     )
-    return bounds, sbounds, tri.reshape(Cp // GROUP, GROUP * (W // 8), 8 * TRI_COLS)
+    return (bounds, sbounds, sgbounds,
+            tri.reshape(S, GROUP * (W // 8), 8 * TRI_COLS))
 
 
 @functools.partial(jax.jit, static_argnames=("n_clusters", "width", "interpret"))

@@ -39,6 +39,50 @@ from .integrator import (
 )
 
 
+def _generate_rsqrt(state, xs, ys, cam):
+    """ops.raygen.generate, but the final normalize is x * rsqrt(n2) —
+    bit-identical to mesh_bounce_kernel.start_sample. The fused kernels
+    finish raygen with x * rsqrt(n2) (trace_kernel._norm3) while
+    ops.vec.normalize divides by sqrt(n2) — a last-ulp direction
+    difference that flips t-ties on mesh edges (~0.2% of lanes on
+    spaceship_r1). Drivers that mix kernel-seeded and driver-seeded
+    samples of the SAME render (chunked regen in _mesh_shade, the
+    pixel-bound group start) must use this mirror so every (pixel,
+    sample) gets one bit-exact ray regardless of which side seeded it.
+    All other arithmetic already associates identically (verified by
+    the bit-equality chunk tests in tests/test_mesh_fused.py)."""
+    import jax
+
+    x = xs.astype(jnp.float32)
+    y = ys.astype(jnp.float32)
+    s_x = cam.x_cf * (x - cam.x_off)
+    s_y = cam.y_cf * (y - cam.y_off)
+    cam_d = Vec3(cam.d[0], cam.d[1], cam.d[2])
+    up = Vec3(cam.up[0], cam.up[1], cam.up[2])
+    right = Vec3(cam.right[0], cam.right[1], cam.right[2])
+    cam_o = Vec3(cam.o[0], cam.o[1], cam.o[2])
+    d = cam_d + right * s_x + up * s_y
+    if cam.lens_r is not None:
+        state, u = rng.next_f32(state)
+        state, v = rng.next_f32(state)
+        r = jnp.sqrt(u)
+        thet = (2.0 * jnp.pi) * v
+        ox = (r - 0.5) * 2.0 * cam.lens_r * jnp.cos(thet)
+        oy = (r - 0.5) * 2.0 * cam.lens_r * jnp.sin(thet)
+        off = right * ox + up * oy
+        o = off + cam_o
+        d = d - off
+    else:
+        one = jnp.ones_like(x)
+        o = Vec3(one * cam_o.x, one * cam_o.y, one * cam_o.z)
+    state, ju = rng.next_f32(state)
+    state, jv = rng.next_f32(state)
+    d = d + right * ((ju - 0.5) * cam.x_cf) + up * ((jv - 0.5) * cam.y_cf)
+    n2 = d.x * d.x + d.y * d.y + d.z * d.z
+    inv = jax.lax.rsqrt(jnp.where(n2 > 1e-30, n2, 1e-30))
+    return state, o, Vec3(d.x * inv, d.y * inv, d.z * inv)
+
+
 def supports(scene, params: IntegratorParams) -> bool:
     """Coverage: gpu semantics, forward only, mesh present with cluster
     tables, sphere/free-tri counts small enough to unroll."""
@@ -56,13 +100,15 @@ def supports(scene, params: IntegratorParams) -> bool:
 
 def _mesh_shade(scene, cam, width, height, xs, ys, samp0, spl,
                 assured, max_bounces, max_thres, carry, gid, tt, bu, bv,
-                precompacted=False):
+                queue=False, precompacted=False):
     """Complete the bounce for mesh-pending lanes (flag == 2): draw the
     8 uniforms the kernel skipped, gather surface attributes
     (compacted), PBR divert (mesh/triangle.rs:190-226), gpu radiance
-    update, and in-place sample regeneration. All arrays flat (N,)."""
+    update, and in-place sample regeneration. All arrays flat (N,).
+    With queue=True and spl > 1 (chunked work units), the regen bound
+    is the per-lane lim carry instead of the static spl."""
     (flag, sk, state, ox, oy, oz, dx, dy, dz,
-     cir, cig, cib, inten, lr, lg, lb, depth) = carry
+     cir, cig, cib, inten, lr, lg, lb, depth, lim) = carry
     # flag == 2 exactly: queue-refilled lanes (flag == 3) are NOT
     # pending — the shade can run after the refill stage
     pend = (flag > 1.5) & (flag < 2.5)
@@ -116,11 +162,11 @@ def _mesh_shade(scene, cam, width, height, xs, ys, samp0, spl,
     alive = survive & (depth2 < float(max_bounces))
     if spl > 1:
         done = pend & ~alive
-        regen = done & (sk + 1.0 < float(spl))
+        regen = done & (sk + 1.0 < (lim if queue else float(spl)))
         sk = sk + jnp.where(regen, 1.0, 0.0)
         samp_new = samp0 + sk.astype(jnp.int32)
         st_new = rng.init_state(xs, ys, width, height, samp_new)
-        st_new, ro_n, rd_n = raygen.generate(st_new, xs, ys, cam)
+        st_new, ro_n, rd_n = _generate_rsqrt(st_new, xs, ys, cam)
 
         state = jnp.where(pend, jnp.where(regen, st_new, st8), state)
         ro = v3.where(pend, v3.where(regen, ro_n, pos), ro)
@@ -130,8 +176,8 @@ def _mesh_shade(scene, cam, width, height, xs, ys, samp0, spl,
         depth = jnp.where(pend, jnp.where(regen, 0.0, depth2), depth)
         flag = jnp.where(pend, jnp.where(alive | regen, 1.0, 0.0), flag)
     else:
-        # queue-refilled mode (wavefront_mesh_fused): the driver's
-        # assign() regenerates; ended lanes just retire
+        # single-sample queue mode (wavefront_mesh_fused, spl == 1):
+        # the driver's assign() regenerates; ended lanes just retire
         state = jnp.where(pend, st8, state)
         ro = v3.where(pend, pos, ro)
         rd = v3.where(pend, new_d, rd)
@@ -139,7 +185,7 @@ def _mesh_shade(scene, cam, width, height, xs, ys, samp0, spl,
         flag = jnp.where(pend, jnp.where(alive, 1.0, 0.0), flag)
 
     return (flag, sk, state, ro.x, ro.y, ro.z, rd.x, rd.y, rd.z,
-            ci.x, ci.y, ci.z, inten, L.x, L.y, L.z, depth)
+            ci.x, ci.y, ci.z, inten, L.x, L.y, L.z, depth, lim)
 
 
 def sample_batch_mesh_fused(
@@ -180,11 +226,11 @@ def sample_batch_mesh_fused(
         acc, stats_in = acc3_stats
         base_g = sample_base + g * spl
         state0 = rng.init_state(xs, ys, width, height, base_g)
-        state0, ro0, rd0 = raygen.generate(state0, xs, ys, cam)
+        state0, ro0, rd0 = _generate_rsqrt(state0, xs, ys, cam)
         zero = jnp.zeros((n,), jnp.float32)
         one = jnp.ones((n,), jnp.float32)
         carry = (one, zero, state0, ro0.x, ro0.y, ro0.z, rd0.x, rd0.y, rd0.z,
-                 one, one, one, one, zero, zero, zero, zero)
+                 one, one, one, one, zero, zero, zero, zero, zero)
         samp2d = jnp.full((rows, 128), 0, jnp.int32) + base_g
 
         def cond(c):
@@ -197,7 +243,7 @@ def sample_batch_mesh_fused(
             carry2d, outs = bounce_tiles(
                 xs2d, ys2d, samp2d, tuple(r2(a) for a in carry),
                 sph_table, ft_table, cam_vec,
-                scene.mk_bounds, scene.mk_sbounds, scene.mk_tri,
+                scene.mk_bounds, scene.mk_sbounds, scene.mk_sgbounds, scene.mk_tri,
                 n_sph=scene.n_spheres, n_ft=scene.n_free_tris,
                 n_clusters=scene.mk_bounds.shape[0],
                 width=scene.cl_idx.shape[1],
@@ -257,7 +303,8 @@ def sample_batch_mesh_fused(
 
 
 def _pend_shade_defer(scene, cam, width, height, assured, max_bounces,
-                      max_thres, carry, gid, tt, bu, bv, cw):
+                      max_thres, carry, gid, tt, bu, bv, xs, ys, samp,
+                      cw, spl=1):
     """_mesh_shade on a FIXED-width compacted buffer of the first `cw`
     mesh-pending lanes; the rest DEFER to the next iteration.
 
@@ -292,21 +339,48 @@ def _pend_shade_defer(scene, cam, width, height, assured, max_bounces,
         .set(jnp.arange(pool, dtype=jnp.int32), mode="drop")[:cw]
     )
     in_slot = jnp.arange(cw, dtype=jnp.int32) < cnt
-    g = lambda a: jnp.take(a, lane, axis=0)
-    carry_c = tuple(g(a) for a in carry)
+    # single-matrix compaction gather (round 3): stack the lane state
+    # into ONE (pool, C) f32 matrix (int columns bitcast) and gather
+    # rows once — a row gather moves at ~1.9 ns/row while the previous
+    # ~22 separate element gathers cost ~8 ns/element each (they do
+    # not fuse; scripts/microbench_gather.py on-chip). The scatters
+    # back stay element-wise: XLA fuses those into one pass.
+    f32 = jnp.float32
+    bc = lambda a: jax.lax.bitcast_convert_type(a, f32)
+    cols = [carry[0], carry[1], bc(carry[2])] + list(carry[3:])  # 18
+    cols += [bc(gid), tt, bu, bv]  # 22
+    if spl > 1:
+        cols += [bc(xs), bc(ys), bc(samp)]  # 25
+    mat = jnp.stack(cols, axis=-1)
+    sub = jnp.take(mat, lane, axis=0)  # (cw, C) — the one gather
+    col = lambda k: sub[:, k]
+    ibc = lambda a: jax.lax.bitcast_convert_type(a, jnp.int32)
+    ubc = lambda a: jax.lax.bitcast_convert_type(a, jnp.uint32)
+    carry_c = (col(0), col(1), ubc(col(2))) + tuple(
+        col(k) for k in range(3, 18)
+    )
+    gid_c, tt_c, bu_c, bv_c = ibc(col(18)), col(19), col(20), col(21)
+    if spl > 1:
+        xs_c, ys_c, samp_c = ibc(col(22)), ibc(col(23)), ibc(col(24))
+    else:
+        iz = jnp.zeros((cw,), jnp.int32)
+        xs_c = ys_c = samp_c = iz
     # unused slots gathered lane 0's state — mask their flag so
     # the shade treats them as non-pending
     carry_c = (jnp.where(in_slot, carry_c[0], 0.0),) + carry_c[1:]
-    iz = jnp.zeros((cw,), jnp.int32)
-    out_c = _mesh_shade(scene, cam, width, height, iz, iz, iz, 1,
-                        assured, max_bounces, max_thres, carry_c,
-                        g(gid), g(tt), g(bu), g(bv), precompacted=True)
+    out_c = _mesh_shade(scene, cam, width, height, xs_c, ys_c, samp_c,
+                        spl, assured, max_bounces, max_thres, carry_c,
+                        gid_c, tt_c, bu_c, bv_c, queue=True,
+                        precompacted=True)
     dest = jnp.where(in_slot, lane, pool)  # pool = discard (drop)
     out = list(carry)
-    # indices _mesh_shade can change with spl=1: flag, state,
-    # ray, throughput, radiance, depth (sk=1 and inten=12 are
-    # untouched)
-    for k in (0, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 13, 14, 15, 16):
+    # indices _mesh_shade can change: flag, state, ray, throughput,
+    # radiance, depth; with chunked regen (spl > 1) also sk=1 and
+    # inten=12 (lim=17 is never written)
+    idxs = (0, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 13, 14, 15, 16)
+    if spl > 1:
+        idxs = idxs + (1, 12)
+    for k in idxs:
         out[k] = out[k].at[dest].set(out_c[k], mode="drop")
     return tuple(out)
 
@@ -316,6 +390,7 @@ def wavefront_mesh_fused(
     sample_base, n_samples, pool: int, has_lens: bool = False, hints=None,
     interpret: bool = False, python_loop: bool = False,
     return_stats: bool = False, ablate: str = "", shade_width: int = 0,
+    spl: int = 1,
 ):
     """Queue-refilled (wavefront) driver over the fused mesh bounce
     kernel — the round-2 production path for mesh scenes.
@@ -340,10 +415,17 @@ def wavefront_mesh_fused(
 
     Work units are handed out sample-major over the tile-ordered pixel
     permutation (spatial coherence for the kernel's per-block cluster
-    culling). Radiance per (pixel, sample) is bit-identical to the XLA
-    integrator in gpu mode (same draws, same stream order — the
-    cross-check in tests/test_mesh_fused.py); only accumulation order
-    differs (scatter-add), so images agree to f32 reassociation.
+    culling). With spl > 1 (round 3) a work unit is a CHUNK of up to
+    spl consecutive sample ids of one pixel: the kernel regenerates
+    chunk samples in place (sample id = samp + sk, bounded by the
+    per-lane lim carry so the last chunk row covers exactly
+    n_samples), radiance accumulates in the lane across the chunk, and
+    the refill cumsum + retirement scatter are paid once per chunk
+    instead of once per path. Radiance per (pixel, sample) is
+    bit-identical to the XLA integrator in gpu mode (same draws, same
+    stream order — the cross-check in tests/test_mesh_fused.py); only
+    accumulation order differs (scatter-add), so images agree to f32
+    reassociation.
 
     Reference parity: the gpu radiance loop trace.wgsl:282-323; the
     queue is the TPU-native stand-in for the reference GPU's
@@ -357,7 +439,11 @@ def wavefront_mesh_fused(
     sph_table, ft_table = tables
     hints = hints if hints is not None else tk._PERMISSIVE
     n_pix = xs_tab.shape[0]
-    n_work = n_pix * n_samples
+    # work units are chunks of up to spl consecutive samples of one
+    # pixel; the last chunk row is short when spl does not divide
+    # n_samples (the per-lane lim carry bounds in-kernel regen)
+    n_rows = (n_samples + spl - 1) // spl
+    n_units = n_pix * n_rows
     assert pool % 1024 == 0, pool
     rows = pool // 128
     assured = params.assured_depth
@@ -369,36 +455,47 @@ def wavefront_mesh_fused(
     zero = jnp.zeros((pool,), jnp.float32)
     izero = jnp.zeros((pool,), jnp.int32)
     cw = shade_width or max(pool // 4, 1024)
+    # loop-invariant: the two pixel-coordinate tables as ONE (n_pix, 2)
+    # matrix so the refill pays one row gather instead of two unfused
+    # element gathers (scripts/microbench_gather.py)
+    xy_tab = jnp.stack([xs_tab, ys_tab], axis=-1)
 
     def assign(carry, xs, ys, samp, pix, q):
-        """Hand the next work units to every retired lane (rank =
-        prefix sum, sample-major ids). Refilled lanes are marked
-        flag = 3: the KERNEL raygens them from (x, y, sample) AND
-        resets their path state (throughput/intensity/radiance/depth)
-        next call (bit-identical ops — mesh_bounce_kernel.start_sample
-        IS ops.rng.init_state + ops.raygen.generate), so this stage is
-        just the cumsum, two pixel-table gathers and FIVE selects —
-        the 12 pool-width state resets ride the kernel's fresh branch
-        where those arrays are already in VMEM registers."""
+        """Hand the next work units (chunks) to every retired lane
+        (rank = prefix sum, chunk-row-major ids). Refilled lanes are
+        marked flag = 3: the KERNEL raygens them from (x, y, sample)
+        AND resets their path state (throughput/intensity/radiance/
+        depth/sk) next call (bit-identical ops —
+        mesh_bounce_kernel.start_sample IS ops.rng.init_state +
+        ops.raygen.generate), so this stage is just the cumsum, two
+        pixel-table gathers and six selects — the 12 pool-width state
+        resets ride the kernel's fresh branch where those arrays are
+        already in VMEM registers."""
         flag = carry[0]
         need = flag < 0.5
         ranks = jnp.cumsum(need.astype(jnp.int32))
         ids = q + ranks - 1
-        valid = need & (ids < n_work)
-        new_q = jnp.minimum(q + ranks[-1], n_work)
-        ids_c = jnp.clip(ids, 0, jnp.maximum(n_work - 1, 0))
+        valid = need & (ids < n_units)
+        new_q = jnp.minimum(q + ranks[-1], n_units)
+        ids_c = jnp.clip(ids, 0, jnp.maximum(n_units - 1, 0))
         pix_pos = ids_c % n_pix
-        samp_new = sample_base + ids_c // n_pix
-        x = jnp.take(xs_tab, pix_pos)
-        y = jnp.take(ys_tab, pix_pos)
-        carry = (jnp.where(valid, 3.0, carry[0]),) + tuple(carry[1:])
+        row = ids_c // n_pix
+        samp_new = sample_base + row * spl
+        xy = jnp.take(xy_tab, pix_pos, axis=0)
+        x, y = xy[:, 0], xy[:, 1]
+        carry = list(carry)
+        carry[0] = jnp.where(valid, 3.0, carry[0])
+        if spl > 1:
+            lim_new = jnp.minimum(spl, n_samples - row * spl).astype(jnp.float32)
+            carry[17] = jnp.where(valid, lim_new, carry[17])
+        carry = tuple(carry)
         xs = jnp.where(valid, x, xs)
         ys = jnp.where(valid, y, ys)
         samp = jnp.where(valid, samp_new, samp)
         pix = jnp.where(valid, y * width + x, pix)
         return carry, xs, ys, samp, pix, new_q
 
-    carry0 = (zero,) * 2 + (jnp.zeros((pool,), jnp.uint32),) + (zero,) * 14
+    carry0 = (zero,) * 2 + (jnp.zeros((pool,), jnp.uint32),) + (zero,) * 15
     carry0, xs0, ys0, samp0, pix0, q0 = assign(
         carry0, izero, izero, izero, izero, jnp.int32(0)
     )
@@ -418,13 +515,13 @@ def wavefront_mesh_fused(
         carry2d, outs = bounce_tiles(
             r2(xs), r2(ys), r2(samp), tuple(r2(a) for a in carry),
             sph_table, ft_table, cam_vec,
-            scene.mk_bounds, scene.mk_sbounds, scene.mk_tri,
+            scene.mk_bounds, scene.mk_sbounds, scene.mk_sgbounds, scene.mk_tri,
             n_sph=scene.n_spheres, n_ft=scene.n_free_tris,
             n_clusters=scene.mk_bounds.shape[0],
             width=scene.cl_idx.shape[1],
             has_lens=has_lens,
-            assured=assured, max_bounces=max_b, spl=1, hints=hints,
-            interpret=interpret,
+            assured=assured, max_bounces=max_b, spl=spl, queue=True,
+            hints=hints, interpret=interpret,
         )
         carry = [fl(a) for a in carry2d]
         gid, tt, bu, bv, mdx, mdy, mdz, mwr, mwg, mwb = (fl(a) for a in outs)
@@ -459,8 +556,8 @@ def wavefront_mesh_fused(
             flag = carry[0]
             need = flag < 0.5
             n_need = jnp.sum(need.astype(jnp.int32))
-            valid = need & (q < n_work)
-            q = jnp.minimum(q + n_need, n_work)
+            valid = need & (q < n_units)
+            q = jnp.minimum(q + n_need, n_units)
             carry = list(carry)
             carry[0] = jnp.where(valid, 3.0, flag)
         else:
@@ -479,40 +576,68 @@ def wavefront_mesh_fused(
             carry = tuple(carry)
         elif "dense_shade" in ab:
             carry = _mesh_shade(
-                scene, cam, width, height, xs, ys, samp, 1,
+                scene, cam, width, height, xs, ys, samp, spl,
                 assured, max_b, max_thres, tuple(carry), gid, tt, bu, bv,
+                queue=True,
             )
         else:
             carry = _pend_shade_defer(
                 scene, cam, width, height, assured, max_b, max_thres,
-                tuple(carry), gid, tt, bu, bv, cw=cw,
+                tuple(carry), gid, tt, bu, bv, xs, ys, samp, cw=cw,
+                spl=spl,
             )
 
-        # ---- retirement: deferred sky resolve + radiance scatter,
-        # DENSE over the pool — no rank cumsum, no lax.cond (both
-        # measured as the dominant per-iteration cost of the earlier
-        # compacted/tiered formulations; most lanes retire every
-        # iteration on sky-dominated scenes, so compaction bought
-        # little and its cumsum+cond serialized the loop body).
+        # ---- retirement: deferred sky resolve + radiance scatter.
+        # The sky term is added into the lane's CARRIED radiance (a
+        # chunked lane that missed regenerates in place and retires
+        # iterations later), tile-cond'd so only 8k-lane tiles
+        # containing a missed lane pay the texel gathers (the classic
+        # driver's formulation, wavefront.py). The scatter stays DENSE
+        # over the pool — no rank cumsum, no lax.cond (measured
+        # dominant in the earlier compacted/tiered formulations).
         term2 = (flag_pre_shade > 1.5) & (carry[0] < 0.5)  # shade RR kill
         term = term1 | term2
         do_sky = scene.has_cubemap and "sky" not in ab
-        Lr, Lg, Lb = carry[13], carry[14], carry[15]
-
-        def sky_add(m_, md_, mw_, L3):
-            sky = sample_cubemap(
-                scene, v3.where(m_, md_, Vec3.full_like(md_.x, 1.0, 0.0, 0.0))
-            )
-            return (
-                L3[0] + jnp.where(m_, mw_[0] * sky.x, 0.0),
-                L3[1] + jnp.where(m_, mw_[1] * sky.y, 0.0),
-                L3[2] + jnp.where(m_, mw_[2] * sky.z, 0.0),
-            )
+        carry = list(carry)
 
         if do_sky:
             md = Vec3(mdx, mdy, mdz)
             missed = (md.x != 0.0) | (md.y != 0.0) | (md.z != 0.0)
-            Lr, Lg, Lb = sky_add(missed, md, (mwr, mwg, mwb), (Lr, Lg, Lb))
+
+            def resolve(m_t, md_t, mw_t):
+                sky = sample_cubemap(
+                    scene, v3.where(m_t, md_t, Vec3.full_like(md_t.x, 1.0, 0.0, 0.0))
+                )
+                add = v3.where(m_t, mw_t * sky, Vec3.zeros_like(mw_t.x))
+                return add.x, add.y, add.z
+
+            TS = 8192
+            if pool > TS and pool % TS == 0 and "dense_sky" not in ab:
+                n_t = pool // TS
+                resh = lambda a: a.reshape(n_t, TS)
+
+                def tile_body(_, args):
+                    m_t, ax, ay, az, bx, by, bz, any_t = args
+                    out = jax.lax.cond(
+                        any_t,
+                        lambda: resolve(m_t, Vec3(ax, ay, az), Vec3(bx, by, bz)),
+                        lambda: tuple(jnp.zeros((TS,), jnp.float32) for _ in range(3)),
+                    )
+                    return None, out
+
+                _, (sx, sy, sz) = jax.lax.scan(
+                    tile_body, None,
+                    (resh(missed), resh(mdx), resh(mdy), resh(mdz),
+                     resh(mwr), resh(mwg), resh(mwb),
+                     jnp.any(resh(missed), axis=1)),
+                )
+                sx, sy, sz = sx.reshape(pool), sy.reshape(pool), sz.reshape(pool)
+            else:
+                sx, sy, sz = resolve(missed, md, Vec3(mwr, mwg, mwb))
+            carry[13] = carry[13] + sx
+            carry[14] = carry[14] + sy
+            carry[15] = carry[15] + sz
+        Lr, Lg, Lb = carry[13], carry[14], carry[15]
         if "scatter" in ab:
             acc = acc.at[0].add(
                 jnp.stack([jnp.sum(jnp.where(term, Lr, 0.0)),
@@ -539,8 +664,24 @@ def wavefront_mesh_fused(
         import numpy as _np
 
         c = init
+        dbg = int(__import__("os").environ.get("RTPU_DEBUG_PIX", "-1"))
         while bool(_np.asarray(cond(c))):
             c = body(c)
+            if dbg >= 0:
+                _q, _st, _acc, _carry, _xs, _ys, _samp, _pix, _hitc = c
+                m = _np.asarray(_pix) == dbg
+                if m.any():
+                    ln = int(_np.where(m)[0][0])
+                    g = lambda a: float(_np.asarray(a)[ln])
+                    print(f"it={int(_st[0])} lane={ln} flag={g(_carry[0])}"
+                          f" sk={g(_carry[1])} lim={g(_carry[17])}"
+                          f" samp={int(_np.asarray(_samp)[ln])}"
+                          f" depth={g(_carry[16])}"
+                          f" st={int(_np.asarray(_carry[2])[ln])}"
+                          f" d=({g(_carry[6]):.8f},{g(_carry[7]):.8f},{g(_carry[8]):.8f})"
+                          f" o=({g(_carry[3]):.6f},{g(_carry[4]):.6f},{g(_carry[5]):.6f})"
+                          f" L=({g(_carry[13]):.6f},{g(_carry[14]):.6f},{g(_carry[15]):.6f})",
+                          flush=True)
         q, stats, acc, *_ = c
     else:
         q, stats, acc, *_ = jax.lax.while_loop(cond, body, init)

@@ -618,8 +618,12 @@ def mesh_attrs_compacted(scene, is_mt, mi_all, bu, bv):
             jnp.take(bv, id_buf),
         )
         src = jnp.clip(ranks - 1, 0, K - 1)
+        # gather the 8 results back as ONE row gather of a (K, 8)
+        # matrix: separate element gathers do not fuse and cost ~8
+        # ns/element vs ~2 ns/row (scripts/microbench_gather.py)
+        mat = jnp.take(jnp.stack(outs_c, axis=-1), src, axis=0)
         return tuple(
-            jnp.where(is_mt, jnp.take(o, src), 0.0) for o in outs_c
+            jnp.where(is_mt, mat[:, k], 0.0) for k in range(8)
         )
 
     return jax.lax.cond(

@@ -220,7 +220,7 @@ _jit_wf_mesh_fused_step = jax.jit(
     _fm.wavefront_mesh_fused,
     static_argnames=(
         "width", "height", "pool", "has_lens", "hints", "interpret",
-        "python_loop", "return_stats",
+        "python_loop", "return_stats", "spl",
     ),
 )
 
@@ -394,6 +394,14 @@ class Renderer:
             # the tile-ordered pixel permutation (block coherence for
             # the kernel's cluster culling)
             self.mf_pool = min(1 << 17, -(-n_pix // 1024) * 1024)
+            # chunk length: a refilled lane owns up to this many
+            # consecutive samples of one pixel. Default 1: the sweep
+            # (BENCH_NOTES round 3) measured chunking a net LOSS on
+            # biplane — the per-iteration dense ops (refill cumsum,
+            # scatter, sky resolve) cost pool-width regardless of how
+            # many lanes retire, so rarer refills saved nothing while
+            # the drain tail grew 124->152 iterations at spl=8.
+            self.mf_spl = int(os.environ.get("RTPU_MESH_SPL", "1"))
             self._mxs = jnp.asarray((self._perm % self.width).astype(np.int32))
             self._mys = jnp.asarray((self._perm // self.width).astype(np.int32))
             sph_t, ft_t = tk.pack_scene_tables(self.scene)
@@ -410,6 +418,7 @@ class Renderer:
                 pool=self.mf_pool,
                 has_lens=self.camera.lens_r is not None,
                 hints=self._mhints,
+                spl=self.mf_spl,
             )
 
         self._step = partial(
@@ -465,7 +474,7 @@ class Renderer:
 
                 self._multi_step, _ = make_spp_sharded_step(self._mesh1d, _fin, {})
             elif self.use_mesh_fused:
-                _pool = self.mf_pool
+                _pool, _spl = self.mf_pool, self.mf_spl
                 _hl, _hints = self.camera.lens_r is not None, self._mhints
 
                 def _min(tables, cam_vec, scene, cam, params, xs_tab, ys_tab,
@@ -473,7 +482,7 @@ class Renderer:
                     return _fm.wavefront_mesh_fused(
                         tables, cam_vec, scene, cam, params, _w, _h,
                         xs_tab, ys_tab, sample_base, n_samples,
-                        pool=_pool, has_lens=_hl, hints=_hints,
+                        pool=_pool, has_lens=_hl, hints=_hints, spl=_spl,
                     )
 
                 self._multi_step, _ = make_spp_sharded_step(self._mesh1d, _min, {})

@@ -30,7 +30,7 @@ assert r.use_mesh_fused
 scene_dev = jax.device_put(r.scene)
 n_work = r.width * r.height * spp
 
-for ablate in ("", "sky", "shade", "scatter", "assign", "sky,shade,scatter,assign"):
+for ablate in ("", "sky", "dense_sky", "shade", "scatter", "assign", "sky,shade,scatter,assign"):
     step = jax.jit(
         partial(
             fm.wavefront_mesh_fused, width=r.width, height=r.height,

@@ -130,9 +130,10 @@ def main():
         cam_vec = jnp.asarray(tk.make_cam_vec(camera, 0.5))
         tables = (jnp.asarray(sph_t), jnp.asarray(ft_t))
         pool = min(1 << 17, -(-(W * H) // 1024) * 1024)
+        spl = int(os.environ.get("RTPU_MESH_SPL", "1"))
         step = jax.jit(partial(
             wavefront_mesh_fused, width=W, height=H, pool=pool,
-            has_lens=False, hints=hints,
+            has_lens=False, hints=hints, spl=spl,
         ))
         t0 = time.time()
         out = step(tables, cam_vec, scene, cam, params,

@@ -156,3 +156,51 @@ def test_wavefront_mesh_fused_deferral():
         "shade_width=128 should force deferral iterations"
     )
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_wavefront_mesh_fused_chunked():
+    """Chunked work units (spl > 1 in queue mode): a lane owns up to
+    spl consecutive samples of one pixel and regenerates in-kernel;
+    radiance per (pixel, sample) must match the XLA integrator, and a
+    non-dividing spl (chunk 3 over 4 samples -> lim rows of 3 and 1)
+    must cover exactly n_samples."""
+    scheme, scene, camera, cam, xs, ys, params, tables, hints, cam_vec = _setup()
+    ref = np.asarray(
+        sample_batch(scene, cam, params, W, H, xs, ys, jnp.int32(0), jnp.int32(4))
+    )
+    for spl in (2, 3, 4):
+        out = fm.wavefront_mesh_fused(
+            tables, cam_vec, scene, cam, params, W, H, xs, ys,
+            jnp.int32(0), jnp.int32(4), pool=1024, has_lens=False,
+            hints=hints, interpret=True, python_loop=True, spl=spl,
+        )
+        _assert_close(np.asarray(out), ref, 4)
+
+
+def test_wavefront_mesh_fused_chunked_equals_unchunked():
+    """Chunking only moves WHEN samples run: per-(pixel,sample) draw
+    streams are identical, and since the _generate_rsqrt mirror every
+    regen path (kernel fresh, kernel regen, shade regen) produces the
+    same ray bitwise WITHIN one compiled config. Across the spl=1 and
+    spl=2 configs the kernel is a DIFFERENT compiled program, so XLA
+    FMA contraction may reassociate raygen/intersection arithmetic at
+    the ulp level — which chaotic mesh-edge t-ties can amplify on a
+    handful of pixels (measured: 1 of 4096 on this scene; was 6 with
+    up-to-0.23 error before the mirror fix). Gate: <0.1% of pixels
+    beyond reassociation noise, and none catastrophically off."""
+    scheme, scene, camera, cam, xs, ys, params, tables, hints, cam_vec = _setup()
+    kw = dict(
+        width=W, height=H, xs_tab=xs, ys_tab=ys,
+        sample_base=jnp.int32(3), n_samples=jnp.int32(2), pool=1024,
+        has_lens=False, hints=hints, interpret=True, python_loop=True,
+    )
+    ref = np.asarray(
+        fm.wavefront_mesh_fused(tables, cam_vec, scene, cam, params, **kw)
+    )
+    out = np.asarray(
+        fm.wavefront_mesh_fused(tables, cam_vec, scene, cam, params, spl=2, **kw)
+    )
+    d = np.abs(out - ref).max(axis=1)
+    assert (d > 1e-4).mean() < 1e-3, f"{(d > 1e-4).sum()} pixels diverge"
+    assert d.max() < 5e-3, f"max divergence {d.max()}"
+    np.testing.assert_allclose(out.mean(0), ref.mean(0), rtol=1e-4)
