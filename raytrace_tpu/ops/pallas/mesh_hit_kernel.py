@@ -60,10 +60,10 @@ TRI_COLS = 16  # v0 xyz | e1 xyz | e2 xyz | gid | 6 pad
 
 
 def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, seed_ref,
-            bounds_ref, sbounds_ref, tri_hbm,
+            bounds_ref, sbounds_ref, sgbounds_ref, tri_hbm,
             t_out, i_out, u_out, v_out,
             tri_vmem, dma_sem,
-            *, n_super: int, group: int, width: int):
+            *, n_super: int, group: int, n_sg: int, sgroup: int, width: int):
     ox, oy, oz = ox_ref[...], oy_ref[...], oz_ref[...]
     dx, dy, dz = dx_ref[...], dy_ref[...], dz_ref[...]
 
@@ -106,19 +106,29 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, seed_ref,
         # (C sequential slab tests per ray block per bounce) dominates
         @pl.when(jnp.any(slab_reach(sbounds_ref, s)))
         def _():
-            # ONE DMA per reached supercluster (group*width triangles
-            # at once): per-cluster 4 KB copies were issued serially
-            # (start->wait) and their ~µs latency dominated a380-scale
-            # renders. The group's cluster slab tests only need the
-            # resident bounds table, so they run while the copy is in
-            # flight.
-            cp = pltpu.make_async_copy(tri_hbm.at[s], tri_vmem, dma_sem)
-            cp.start()
+            # Per-cluster DMA of REACHED clusters only (round 3, same
+            # rationale as mesh_bounce_kernel): the whole-group copy
+            # made a380-scale launches DMA-byte-bound when miss lanes
+            # prune nothing. All reached clusters' copies start
+            # back-to-back on per-cluster semaphores before the first
+            # wait, overlapping their ~µs latency.
             reaches = [
                 jnp.any(slab_reach(bounds_ref, s * group + cl))
                 for cl in range(group)
             ]
-            cp.wait()
+            rpc = width // 8
+
+            def cl_copy(cl):
+                return pltpu.make_async_copy(
+                    tri_hbm.at[s, pl.ds(cl * rpc, rpc)],
+                    tri_vmem.at[pl.ds(cl * rpc, rpc)],
+                    dma_sem.at[cl],
+                )
+
+            for cl in range(group):  # static unroll
+                @pl.when(reaches[cl])
+                def _(cl=cl):
+                    cl_copy(cl).start()
 
             for cl in range(group):  # static unroll
                 def row_body(w8, _, base=cl * rows_per_cluster):
@@ -154,12 +164,24 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, seed_ref,
                     return 0
 
                 @pl.when(reaches[cl])
-                def _(row_body=row_body):
+                def _(row_body=row_body, cl=cl):
+                    cl_copy(cl).wait()
                     jax.lax.fori_loop(0, rows_per_cluster, row_body, 0)
 
         return 0
 
-    jax.lax.fori_loop(0, n_super, super_body, 0)
+    # level-3 cull (see mesh_bounce_kernel): one supergroup slab test
+    # retires sgroup supers' always-paid per-block tests
+    if n_sg > 1:
+        def sg_body(g, _):
+            @pl.when(jnp.any(slab_reach(sgbounds_ref, g)))
+            def _():
+                jax.lax.fori_loop(g * sgroup, (g + 1) * sgroup, super_body, 0)
+            return 0
+
+        jax.lax.fori_loop(0, n_sg, sg_body, 0)
+    else:
+        jax.lax.fori_loop(0, n_super, super_body, 0)
 
 
 GROUP = 16  # clusters per supercluster
@@ -244,15 +266,17 @@ def pack_mesh_tables_np(cl_idx, cl_lo, cl_hi, cl_v0, cl_e1, cl_e2, cam_o=None):
 
 
 @functools.partial(jax.jit, static_argnames=("n_clusters", "width", "interpret"))
-def mesh_hit_tiles(ox, oy, oz, dx, dy, dz, seed, bounds, sbounds, tri,
+def mesh_hit_tiles(ox, oy, oz, dx, dy, dz, seed, bounds, sbounds, sgbounds,
+                   tri,
                    n_clusters: int, width: int, interpret: bool = False):
     """All ray args (R, 128) lane grids; bounds (Cp, 8); sbounds
-    (Cp/GROUP, 8); tri (Cp/GROUP, GROUP*W/8, 128) — from
-    pack_mesh_tables_np (n_clusters = the PADDED Cp). Returns
-    (t, gid, u, v) each (R, 128); gid == -1 where nothing beat seed."""
+    (Cp/GROUP, 8); sgbounds (Cp/GROUP/SGROUP, 8); tri
+    (Cp/GROUP, GROUP*W/8, 128) — from pack_mesh_tables_np
+    (n_clusters = the PADDED Cp). Returns (t, gid, u, v) each
+    (R, 128); gid == -1 where nothing beat seed."""
     rows = ox.shape[0]
     assert rows % SUBLANES == 0
-    assert n_clusters % GROUP == 0
+    assert n_clusters % (GROUP * SGROUP) == 0
     grid = rows // SUBLANES
     lane = pl.BlockSpec((SUBLANES, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
     # bounds are scalar-indexed at a dynamic cluster id — SMEM's native
@@ -263,7 +287,8 @@ def mesh_hit_tiles(ox, oy, oz, dx, dy, dz, seed, bounds, sbounds, tri,
         a.shape, lambda i: (0, 0, 0)[: a.ndim], memory_space=space
     )
     kernel = functools.partial(
-        _kernel, n_super=n_clusters // GROUP, group=GROUP, width=width
+        _kernel, n_super=n_clusters // GROUP, group=GROUP,
+        n_sg=n_clusters // GROUP // SGROUP, sgroup=SGROUP, width=width
     )
     return pl.pallas_call(
         kernel,
@@ -272,6 +297,7 @@ def mesh_hit_tiles(ox, oy, oz, dx, dy, dz, seed, bounds, sbounds, tri,
         + [
             table(bounds, bounds_space),
             table(sbounds, pltpu.SMEM if sbounds.shape[0] <= 512 else pltpu.VMEM),
+            table(sgbounds, pltpu.SMEM if sgbounds.shape[0] <= 512 else pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[lane, lane, lane, lane],
@@ -283,7 +309,7 @@ def mesh_hit_tiles(ox, oy, oz, dx, dy, dz, seed, bounds, sbounds, tri,
         ],
         scratch_shapes=[
             pltpu.VMEM((GROUP * (width // 8), 8 * TRI_COLS), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((GROUP,)),
         ],
         interpret=interpret,
-    )(ox, oy, oz, dx, dy, dz, seed, bounds, sbounds, tri)
+    )(ox, oy, oz, dx, dy, dz, seed, bounds, sbounds, sgbounds, tri)

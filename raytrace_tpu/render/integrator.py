@@ -291,7 +291,8 @@ def closest_hit(scene, params, ro: Vec3, rd: Vec3, active=None):
         tt, ti, tu, tv = mesh_hit_tiles(
             resh(ro.x), resh(ro.y), resh(ro.z),
             resh(rd.x), resh(rd.y), resh(rd.z),
-            resh(t_seed), scene.mk_bounds, scene.mk_sbounds, scene.mk_tri,
+            resh(t_seed), scene.mk_bounds, scene.mk_sbounds,
+            scene.mk_sgbounds, scene.mk_tri,
             n_clusters=scene.mk_bounds.shape[0], width=Wd,
         )
         tt, ti, tu, tv = tt.reshape(n), ti.reshape(n), tu.reshape(n), tv.reshape(n)

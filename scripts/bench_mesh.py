@@ -24,7 +24,7 @@ import numpy as np
 
 from raytrace_tpu.models import config as cfg
 from raytrace_tpu.models.camera import build_camera
-from raytrace_tpu.models.gltf import LoadedMesh, Primitive
+from raytrace_tpu.models.gltf import LoadedMesh, Primitive, TextureData
 from raytrace_tpu.models import scene as scene_mod
 from raytrace_tpu.render.integrator import IntegratorParams
 from raytrace_tpu.render.renderer import camera_to_arrays, sample_batch
@@ -34,10 +34,17 @@ W, H = 1216, 608
 SPP = int(os.environ.get("BENCH_MESH_SPP", "4"))
 
 
-def make_mesh(n_tris: int, seed: int = 0) -> LoadedMesh:
-    rng = np.random.default_rng(seed)
-    # triangles scattered in a thick shell around the origin (roughly
-    # plane-sized: 60 units), sized ~0.3 units like dense mesh detail
+N_TEXTURES = int(os.environ.get("BENCH_MESH_TEXTURES", "0"))
+TEX_SIZE = int(os.environ.get("BENCH_MESH_TEX_SIZE", "1024"))
+GEOM = os.environ.get("BENCH_MESH_GEOM", "surface")
+
+
+def _soup(n_tris, rng):
+    """Round-1/2 stand-in: random triangle soup in a thick shell.
+    Pathologically uncullable — ANY spatial cluster of random-soup
+    triangles has a huge AABB, so cluster culling retires almost
+    nothing (~300 of 2048 clusters reached per ray block, measured
+    round 3). Kept for comparison under BENCH_MESH_GEOM=soup."""
     centers = rng.normal(0, 1, (n_tris, 3))
     centers /= np.linalg.norm(centers, axis=1, keepdims=True)
     centers *= rng.uniform(18, 30, (n_tris, 1))
@@ -45,23 +52,86 @@ def make_mesh(n_tris: int, seed: int = 0) -> LoadedMesh:
     e1 = rng.normal(0, 0.25, (n_tris, 3))
     e2 = rng.normal(0, 0.25, (n_tris, 3))
     v0 = centers - (e1 + e2) / 3.0
-    poses = np.concatenate([v0, v0 + e1, v0 + e2], axis=0).astype(np.float32)
-    idx = np.stack(
-        [np.arange(n_tris), np.arange(n_tris) + n_tris, np.arange(n_tris) + 2 * n_tris],
-        axis=1,
-    ).astype(np.int32)
+    return v0, e1, e2
+
+
+def _surface(n_tris, rng):
+    """Round-3 default: a displaced-sphere SURFACE triangulation with
+    exactly n_tris triangles — representative of the real a380 asset
+    (an aircraft is a coherent surface mesh; that coherence is what
+    the reference's KD-tree exploits for its ~60x claim,
+    README.md:104, and what our cluster AABBs need to stay tight)."""
+    nu = 360
+    nv = -(-n_tris // (2 * nu)) + 2
+    uu = np.linspace(0, 2 * np.pi, nu, endpoint=False)
+    vv = np.linspace(0.05, np.pi - 0.05, nv)
+    U, V = np.meshgrid(uu, vv, indexing="ij")  # (nu, nv)
+    r = 24.0 * (
+        1.0
+        + 0.18 * np.sin(3 * U) * np.cos(2 * V)
+        + 0.08 * np.sin(7 * U + 1.3) * np.sin(5 * V)
+    )
+    X = r * np.sin(V) * np.cos(U)
+    Z = r * np.sin(V) * np.sin(U)
+    Y = 0.3 * r * np.cos(V)  # flattened: aircraft-ish slab
+    verts = np.stack([X, Y, Z], -1).reshape(nu * nv, 3)
+    i = np.arange(nu)[:, None]
+    j = np.arange(nv - 1)[None, :]
+    a = i * nv + j
+    b = ((i + 1) % nu) * nv + j
+    quads_a = np.stack([a, b, a + 1], -1).reshape(-1, 3)
+    quads_b = np.stack([b, b + 1, a + 1], -1).reshape(-1, 3)
+    idx = np.concatenate([quads_a, quads_b], 0)[:n_tris]
+    v0 = verts[idx[:, 0]]
+    e1 = verts[idx[:, 1]] - v0
+    e2 = verts[idx[:, 2]] - v0
+    return (v0.astype(np.float32), e1.astype(np.float32),
+            e2.astype(np.float32))
+
+
+def make_mesh(n_tris: int, seed: int = 0) -> LoadedMesh:
+    """BENCH_MESH_TEXTURES=20 adds ~20 procedural base-color textures
+    sized like the real a380 asset's maps (TEX_SIZE^2 each), splitting
+    the triangle shell into that many primitives with per-vertex uvs —
+    so the texture-pool gather path (SURVEY 7.3's named bandwidth
+    risk) is exercised at scale (VERDICT round-2 ask 7)."""
+    rng = np.random.default_rng(seed)
+    v0, e1, e2 = (_soup if GEOM == "soup" else _surface)(n_tris, rng)
     norms = np.cross(e1, e2)
     norms /= np.maximum(np.linalg.norm(norms, axis=1, keepdims=True), 1e-9)
-    vnorms = np.concatenate([norms, norms, norms], axis=0).astype(np.float32)
-    prim = Primitive(
-        poses=poses,
-        norms=vnorms,
-        indices=idx,
-        rgb_factor=np.array([0.7, 0.72, 0.75], np.float32),
-        metal_factor=0.6,
-        rough_factor=0.35,
-    )
-    return LoadedMesh(primitives=[prim], trans_mat=np.eye(4, dtype=np.float32))
+
+    n_prims = max(1, N_TEXTURES)
+    bounds = np.linspace(0, n_tris, n_prims + 1).astype(np.int64)
+    prims = []
+    for p in range(n_prims):
+        lo_i, hi_i = bounds[p], bounds[p + 1]
+        m = int(hi_i - lo_i)
+        if m == 0:
+            continue
+        sv0, se1, se2 = v0[lo_i:hi_i], e1[lo_i:hi_i], e2[lo_i:hi_i]
+        poses = np.concatenate([sv0, sv0 + se1, sv0 + se2], 0).astype(np.float32)
+        idx = np.stack(
+            [np.arange(m), np.arange(m) + m, np.arange(m) + 2 * m], axis=1
+        ).astype(np.int32)
+        vnorms = np.concatenate([norms[lo_i:hi_i]] * 3, 0).astype(np.float32)
+        rgb_tex = None
+        if N_TEXTURES:
+            prng = np.random.default_rng(1000 + p)
+            pixels = prng.uniform(0.2, 1.0, (TEX_SIZE, TEX_SIZE, 3)).astype(
+                np.float32
+            )
+            coords = prng.uniform(0.0, 1.0, (3 * m, 2)).astype(np.float32)
+            rgb_tex = TextureData(pixels=pixels, coords=coords)
+        prims.append(Primitive(
+            poses=poses,
+            norms=vnorms,
+            indices=idx,
+            rgb_factor=np.array([0.7, 0.72, 0.75], np.float32),
+            rgb_tex=rgb_tex,
+            metal_factor=0.6,
+            rough_factor=0.35,
+        ))
+    return LoadedMesh(primitives=prims, trans_mat=np.eye(4, dtype=np.float32))
 
 
 def main():
