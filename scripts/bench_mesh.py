@@ -158,19 +158,16 @@ def main():
         ],
     }
     scheme = cfg.parse_scheme(raw)
-    scene = scene_mod.build_scene(scheme)
-
-    # splice the procedural mesh in (bypasses glTF loading)
-    mt = scene_mod._mesh_triangle_arrays([make_mesh(N_TRIS)], scene_mod._TexPool())
-    import raytrace_tpu.models.scene as sm
-
-    M = mt["v0"].shape[0]
-    assert M == N_TRIS, M
-    # reuse build_scene's mesh packing by constructing a fresh scene
-    scheme2 = cfg.parse_scheme(raw)
-    scene = _build_with_mesh(scheme2, mt)
+    # splice the procedural mesh in (bypasses glTF loading only — the
+    # real build_scene packs the SoA AND its texel pool, so textured
+    # meshes get their pixels into scene.tex_pool; round 3 fixed a
+    # black-render bug where a prebuilt SoA pointed into a discarded
+    # pool)
+    scene = _build_with_mesh(scheme)
+    assert scene.n_mesh_tris == N_TRIS, scene.n_mesh_tris
     print(f"scene: {scene.n_mesh_tris} tris, {scene.n_clusters} clusters "
-          f"x{scene.cl_idx.shape[1]}", flush=True)
+          f"x{scene.cl_idx.shape[1]}, tex_pool "
+          f"{scene.tex_pool.shape[0] * 4 / 1e6:.0f} MB", flush=True)
 
     cam = camera_to_arrays(build_camera(scheme.cam, W, H))
     params = IntegratorParams(assured_depth=5, max_bounces=24, mesh_kernel=True)
@@ -254,13 +251,11 @@ def main():
     print("mean:", np.asarray(out).mean(axis=0), flush=True)
 
 
-def _build_with_mesh(scheme, mt):
-    """build_scene, but with the mesh-triangle SoA supplied directly."""
+def _build_with_mesh(scheme):
+    """build_scene with glTF loading replaced by the procedural mesh
+    (scene packing, clustering and the texel pool all run for real)."""
     import raytrace_tpu.models.scene as sm
 
-    orig = sm._mesh_triangle_arrays
-    sm._mesh_triangle_arrays = lambda meshes, pool: mt
-    # build_scene only calls it when meshes non-empty; fake one member
     scheme.scene_members.append(
         cfg.ModelMember(path="<procedural>", uniform_scale=1.0,
                         translation=np.zeros(3, np.float32),
@@ -273,7 +268,6 @@ def _build_with_mesh(scheme, mt):
     try:
         return sm.build_scene(scheme)
     finally:
-        sm._mesh_triangle_arrays = orig
         sm.gltf_mod.load_model = orig_load
         sm.resolve_asset_path = orig_resolve
 
