@@ -390,7 +390,7 @@ def wavefront_mesh_fused(
     sample_base, n_samples, pool: int, has_lens: bool = False, hints=None,
     interpret: bool = False, python_loop: bool = False,
     return_stats: bool = False, ablate: str = "", shade_width: int = 0,
-    spl: int = 1,
+    spl: int = 1, compact_lanes: bool = False,
 ):
     """Queue-refilled (wavefront) driver over the fused mesh bounce
     kernel — the round-2 production path for mesh scenes.
@@ -506,6 +506,52 @@ def wavefront_mesh_fused(
 
     def body(c):
         q, stats, acc, carry, xs, ys, samp, pix, hitc = c
+        if compact_lanes:
+            # three-way stable partition active | pend | dead before
+            # the kernel launch (round 3): deferred-pend and dead
+            # lanes prune every slab test individually (tt = -INF),
+            # but a BLOCK pays kernel work if ANY of its 1024 lanes is
+            # active — scattered occupancy makes every block pay. The
+            # permutation moves the whole lane state with ONE
+            # (pool, C) row gather (~0.3 ms at 128k lanes, the same
+            # matrix trick as the shade compaction; the round-2
+            # element-wise formulation cost ~24 ms and was abandoned),
+            # concentrating active lanes into few blocks and placing
+            # refilled (tile-coherent) work contiguously at the tail.
+            # Stream-neutral: every lane keeps its full state; only
+            # which VPU block hosts it changes.
+            flag = carry[0]
+            is_pend = (flag > 1.5) & (flag < 2.5)
+            is_act = (flag > 0.5) & ~is_pend
+            is_dead = flag < 0.5
+            na = jnp.cumsum(is_act.astype(jnp.int32))
+            npd = jnp.cumsum(is_pend.astype(jnp.int32))
+            ndd = jnp.cumsum(is_dead.astype(jnp.int32))
+            A, P = na[-1], npd[-1]
+            dest = jnp.where(
+                is_act, na - 1,
+                jnp.where(is_pend, A + npd - 1, A + P + ndd - 1),
+            )
+            inv = (
+                jnp.zeros((pool,), jnp.int32)
+                .at[dest]
+                .set(jnp.arange(pool, dtype=jnp.int32))
+            )
+            f32 = jnp.float32
+            bc = lambda a: jax.lax.bitcast_convert_type(a, f32)
+            cols = [carry[0], carry[1], bc(carry[2])] + list(carry[3:])
+            cols += [bc(hitc[0]), hitc[1], hitc[2], hitc[3],
+                     bc(xs), bc(ys), bc(samp), bc(pix)]
+            mat = jnp.take(jnp.stack(cols, axis=-1), inv, axis=0)
+            col = lambda k: mat[:, k]
+            ibc = lambda a: jax.lax.bitcast_convert_type(a, jnp.int32)
+            ubc = lambda a: jax.lax.bitcast_convert_type(a, jnp.uint32)
+            carry = (col(0), col(1), ubc(col(2))) + tuple(
+                col(k) for k in range(3, 18)
+            )
+            hitc = (ibc(col(18)), col(19), col(20), col(21))
+            xs, ys = ibc(col(22)), ibc(col(23))
+            samp, pix = ibc(col(24)), ibc(col(25))
         was_active = carry[0] > 0.5
         # deferred lanes (flag == 2 at launch) are skipped by the
         # kernel — don't count them as bounce work in lane_bounces
@@ -565,6 +611,7 @@ def wavefront_mesh_fused(
             carry = list(carry)
 
         flag_pre_shade = carry[0]
+        dense_shade = cw >= pool or "dense_shade" in ab
         if "shade" in ab:
             # stub the mesh-pend XLA stage: pend lanes just retire.
             # Only flag == 2 (pend) — freshly refilled lanes are flag 3
@@ -574,7 +621,14 @@ def wavefront_mesh_fused(
                 (carry[0] > 1.5) & (carry[0] < 2.5), 0.0, carry[0]
             )
             carry = tuple(carry)
-        elif "dense_shade" in ab:
+        elif dense_shade:
+            # dense pend shade: no compaction machinery at all. Wins on
+            # mesh-heavy scenes (spaceship_r1: ~40%+ of lanes pend every
+            # iteration — deferral at cw=pool/4 saturates, occupancy
+            # collapses to ~45%, and full-width defer pays the rank
+            # machinery for nothing; measured 0.87 vs 0.62-0.81
+            # Mpaths/s). The deferral path wins sky-heavy scenes where
+            # pend is sparse (biplane ~15%).
             carry = _mesh_shade(
                 scene, cam, width, height, xs, ys, samp, spl,
                 assured, max_b, max_thres, tuple(carry), gid, tt, bu, bv,

@@ -220,7 +220,8 @@ _jit_wf_mesh_fused_step = jax.jit(
     _fm.wavefront_mesh_fused,
     static_argnames=(
         "width", "height", "pool", "has_lens", "hints", "interpret",
-        "python_loop", "return_stats", "spl",
+        "python_loop", "return_stats", "spl", "compact_lanes",
+        "shade_width", "ablate",
     ),
 )
 
@@ -402,6 +403,18 @@ class Renderer:
             # many lanes retire, so rarer refills saved nothing while
             # the drain tail grew 124->152 iterations at spl=8.
             self.mf_spl = int(os.environ.get("RTPU_MESH_SPL", "1"))
+            # pend-shade mode: deferral at pool/4 wins SPARSE-pend
+            # (sky-dominated) scenes; the dense shade wins mesh-heavy
+            # ones where deferral saturates (BENCH_NOTES round 3,
+            # spaceship 0.87 dense vs 0.62 defer). Chosen by the
+            # estimated fraction of primary rays entering the mesh
+            # root AABB; RTPU_SHADE_WIDTH overrides (0 = pool/4
+            # deferral, >= pool = dense).
+            cov = self._mesh_coverage()
+            default_cw = self.mf_pool if cov > 0.30 else self.mf_pool // 4
+            self.mf_shade_width = int(
+                os.environ.get("RTPU_SHADE_WIDTH", str(default_cw))
+            )
             self._mxs = jnp.asarray((self._perm % self.width).astype(np.int32))
             self._mys = jnp.asarray((self._perm // self.width).astype(np.int32))
             sph_t, ft_t = tk.pack_scene_tables(self.scene)
@@ -419,6 +432,7 @@ class Renderer:
                 has_lens=self.camera.lens_r is not None,
                 hints=self._mhints,
                 spl=self.mf_spl,
+                shade_width=self.mf_shade_width,
             )
 
         self._step = partial(
@@ -475,6 +489,7 @@ class Renderer:
                 self._multi_step, _ = make_spp_sharded_step(self._mesh1d, _fin, {})
             elif self.use_mesh_fused:
                 _pool, _spl = self.mf_pool, self.mf_spl
+                _cw = self.mf_shade_width
                 _hl, _hints = self.camera.lens_r is not None, self._mhints
 
                 def _min(tables, cam_vec, scene, cam, params, xs_tab, ys_tab,
@@ -483,6 +498,7 @@ class Renderer:
                         tables, cam_vec, scene, cam, params, _w, _h,
                         xs_tab, ys_tab, sample_base, n_samples,
                         pool=_pool, has_lens=_hl, hints=_hints, spl=_spl,
+                        shade_width=_cw,
                     )
 
                 self._multi_step, _ = make_spp_sharded_step(self._mesh1d, _min, {})
@@ -509,6 +525,31 @@ class Renderer:
             self._multi_plain_step, _ = make_spp_sharded_step(self._mesh1d, _pin, {})
             if not (self.use_fused or self.use_mesh_fused or self.use_wavefront):
                 self._multi_step = self._multi_plain_step
+
+    def _mesh_coverage(self) -> float:
+        """Estimated fraction of primary rays whose slab test enters
+        the mesh root AABB (numpy, every-8th-pixel grid, no jitter) —
+        drives the pend-shade mode choice. 0.0 when no mesh."""
+        mb = np.asarray(self.scene.mk_bounds)
+        valid = mb[:, 0] <= mb[:, 3]
+        if not valid.any():
+            return 0.0
+        lo = mb[valid, 0:3].min(axis=0)
+        hi = mb[valid, 3:6].max(axis=0)
+        cam = self.camera
+        xs = np.arange(0, self.width, 8, dtype=np.float32)
+        ys = np.arange(0, self.height, 8, dtype=np.float32)
+        X, Y = np.meshgrid(xs, ys)
+        s_x = (cam.x_cf * (X - cam.x_off))[..., None]
+        s_y = (cam.y_cf * (Y - cam.y_off))[..., None]
+        d = cam.d[None, None, :] + cam.right * s_x + cam.up * s_y
+        d = np.where(np.abs(d) < 1e-4, np.where(d < 0, -1e-4, 1e-4), d)
+        inv = 1.0 / d
+        t0 = (lo - cam.o) * inv
+        t1 = (hi - cam.o) * inv
+        entry = np.minimum(t0, t1).max(axis=-1)
+        exit_ = np.maximum(t0, t1).min(axis=-1)
+        return float(((entry <= exit_) & (exit_ >= 0.0)).mean())
 
     def _render_plain(self, scene_dev, base: int, n: int) -> int:
         """Run n samples (exactly, unless the multi-device step
@@ -578,11 +619,18 @@ class Renderer:
             # (max-path-length iterations at collapsing occupancy) is
             # paid once per dispatch, so more spp per dispatch is the
             # occupancy lever.
-            # cap overridable for faster boxes / bigger watchdog budgets
-            cap = int(os.environ.get(
-                "RTPU_MAX_DISPATCH_SPP",
-                "64" if (self.use_wavefront or self.use_mesh_fused) else "2",
-            ))
+            # cap overridable for faster boxes / bigger watchdog budgets.
+            # Mesh-heavy (dense-shade) scenes run ~1 Mpaths/s — a
+            # 64-spp dispatch exceeds the ~60 s TPU runtime watchdog
+            # (measured: the spaceship_r1 64-spp dispatch killed the
+            # worker), so they get a smaller default.
+            if self.use_mesh_fused and self.mf_shade_width >= self.mf_pool:
+                default_cap = "16"
+            elif self.use_wavefront or self.use_mesh_fused:
+                default_cap = "64"
+            else:
+                default_cap = "2"
+            cap = int(os.environ.get("RTPU_MAX_DISPATCH_SPP", default_cap))
             b = min(b, cap)
 
         bar = None

@@ -35,6 +35,7 @@ for ablate in ("", "sky", "dense_sky", "shade", "scatter", "assign", "sky,shade,
         partial(
             fm.wavefront_mesh_fused, width=r.width, height=r.height,
             pool=r.mf_pool, has_lens=False, hints=r._mhints,
+        shade_width=r.mf_shade_width,
             return_stats=True, ablate=ablate,
         )
     )

@@ -40,7 +40,8 @@ n_work = r.width * r.height * spp
 step = jax.jit(
     partial(
         fm.wavefront_mesh_fused, width=r.width, height=r.height,
-        pool=r.mf_pool, has_lens=False, hints=r._mhints, return_stats=True,
+        pool=r.mf_pool, has_lens=False, hints=r._mhints,
+        shade_width=r.mf_shade_width, return_stats=True,
     )
 )
 args = (r._mtables, r._mcam_vec, scene_dev, r.cam_arrays, r.params)

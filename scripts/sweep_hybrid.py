@@ -37,17 +37,22 @@ kw = dict(xs_tab=r._mxs, ys_tab=r._mys, sample_base=jnp.int32(0),
 import json
 configs = json.loads(os.environ.get(
     "SWEEP_CONFIGS", '[[4, ""], [2, ""], [4, "dense_shade"]]'))
-configs = [(pool // int(f_) if int(f_) else pool, ab) for f_, ab in configs]
+# entries: [cw_divisor, ablate] or [cw_divisor, ablate, compact_lanes]
+configs = [
+    (pool // int(c[0]) if int(c[0]) else pool, c[1],
+     bool(c[2]) if len(c) > 2 else True)
+    for c in configs
+]
 # chunk-length sweep (round 3): SWEEP_SPLS="1,4,8" crosses each config
 spls = [int(s) for s in os.environ.get("SWEEP_SPLS", "1").split(",")]
-configs = [(cw, ab, s) for s in spls for (cw, ab) in configs]
+configs = [(cw, ab, cp, s) for s in spls for (cw, ab, cp) in configs]
 
 ref_mean = None
-for cw, ablate, spl in configs:
+for cw, ablate, compact, spl in configs:
     step = jax.jit(partial(
         fm.wavefront_mesh_fused, width=r.width, height=r.height,
         pool=pool, has_lens=False, hints=r._mhints, return_stats=True,
-        shade_width=cw, ablate=ablate, spl=spl,
+        shade_width=cw, ablate=ablate, spl=spl, compact_lanes=compact,
     ))
     t0 = time.time()
     img, stats = step(*args, **kw)
@@ -65,7 +70,8 @@ for cw, ablate, spl in configs:
         ref_mean = mean
     drift = np.abs(mean - ref_mean).max()
     print(
-        f"cw={cw} ({pool//cw}x) spl={spl} ablate='{ablate}': compile {tc:.0f}s, "
+        f"cw={cw} ({pool//cw}x) spl={spl} compact={int(compact)} "
+        f"ablate='{ablate}': compile {tc:.0f}s, "
         f"{best:.2f}s = {best/iters*1e3:.1f} ms/iter x {iters}, "
         f"pend avg {int(stats['pend_sum'])/max(iters,1)/pool:.3f}, "
         f"{n_work/best/1e6:.2f} Mpaths/s, mean drift {drift:.2e}",
