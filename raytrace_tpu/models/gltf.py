@@ -37,6 +37,9 @@ _TYPE_COUNTS = {"SCALAR": 1, "VEC2": 2, "VEC3": 3, "VEC4": 4, "MAT4": 16}
 class TextureData:
     pixels: np.ndarray  # (H, W, 3) float32 in [0,1]
     coords: np.ndarray  # (V, 2) float32 per-vertex uv
+    # undivided integer texels ((H, W, 3) u8/u16) when the source image
+    # is integer-typed — lets the scene packer build a compact pool
+    pixels_raw: Optional[np.ndarray] = None
 
 
 @dataclass
@@ -98,9 +101,15 @@ def _quat_to_mat(x, y, z, w):
     )
 
 
+_IMAGE_CACHE: dict = {}  # (abs gltf path, image idx) -> (f32, raw|None)
+
+
 class GltfFile:
     def __init__(self, path: str):
         self.dir = os.path.dirname(os.path.abspath(path))
+        # decoded-image cache key; file-backed models share decodes
+        # process-wide so N instances of one asset pool each texture once
+        self.cache_key = os.path.abspath(path) if os.path.exists(path) else None
         with open(path, "rb") as f:
             head = f.read(4)
             f.seek(0)
@@ -198,6 +207,24 @@ class GltfFile:
         """Decode image to (H, W, 3) float32 in [0,1] — the reference's
         to_rgb32f conversion (model.rs:203-205 via the image crate:
         u8 -> f32/255, u16 -> f32/65535, luma replicated)."""
+        return self._image_pair(image_idx)[0]
+
+    def image_raw(self, image_idx: int):
+        """The undivided integer texels ((H, W, 3) u8 or u16) when the
+        source image is integer-typed, else None. Lets the scene packer
+        store a 4x/2x smaller texel pool whose gather-time x/255
+        (x/65535) conversion is bit-exact with the f32 build (the HBM
+        random-gather cost scales with pool bytes — BENCH_NOTES round 3
+        gather microbench)."""
+        return self._image_pair(image_idx)[1]
+
+    def _image_pair(self, image_idx: int):
+        # cache is module-global keyed by (file, index): composite
+        # scenes instancing one model N times decode AND pool each
+        # texture once (the pool dedups by array identity)
+        key = (self.cache_key, image_idx)
+        if key in _IMAGE_CACHE:
+            return _IMAGE_CACHE[key]
         if image_idx in self._image_cache:
             return self._image_cache[image_idx]
         img = self.doc["images"][image_idx]
@@ -214,18 +241,25 @@ class GltfFile:
             import io
 
             pil = Image.open(io.BytesIO(raw))
-        arr = np.asarray(pil)
-        if arr.dtype == np.uint8:
-            arr = arr.astype(np.float32) / 255.0
-        elif arr.dtype == np.uint16:
-            arr = arr.astype(np.float32) / 65535.0
+        arr0 = np.asarray(pil)
+        if arr0.ndim == 2:
+            arr0 = np.repeat(arr0[:, :, None], 3, axis=2)
+        arr0 = arr0[:, :, :3]
+        raw3 = None
+        if arr0.dtype == np.uint8:
+            raw3 = np.ascontiguousarray(arr0)
+            arr = arr0.astype(np.float32) / 255.0
+        elif arr0.dtype == np.uint16:
+            raw3 = np.ascontiguousarray(arr0)
+            arr = arr0.astype(np.float32) / 65535.0
         else:
-            arr = arr.astype(np.float32)
-        if arr.ndim == 2:
-            arr = np.repeat(arr[:, :, None], 3, axis=2)
-        arr = arr[:, :, :3]
-        self._image_cache[image_idx] = arr
-        return arr
+            arr = arr0.astype(np.float32)
+        pair = (arr, raw3)
+        if self.cache_key is not None:
+            _IMAGE_CACHE[key] = pair
+        else:
+            self._image_cache[image_idx] = pair
+        return pair
 
     def _tex_image_idx(self, texture_idx: int) -> int:
         return self.doc["textures"][texture_idx]["source"]
@@ -289,7 +323,10 @@ def _read_tex(g: GltfFile, tex_info: Optional[dict], reader_attrs: dict) -> Opti
 
         warnings.warn(f"texture missing, using factors only: {e}")
         return None
-    return TextureData(pixels=pixels, coords=coords[:, :2])
+    return TextureData(
+        pixels=pixels, coords=coords[:, :2],
+        pixels_raw=g.image_raw(g._tex_image_idx(tex_idx)),
+    )
 
 
 def _build_mesh(g: GltfFile, mesh: dict, trans_mat: np.ndarray) -> LoadedMesh:

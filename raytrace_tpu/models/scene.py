@@ -100,12 +100,20 @@ class SceneArrays:
     mk_sbounds: Any  # (Cp/GROUP, 8) f32 supercluster AABBs
     mk_sgbounds: Any  # (Cp/GROUP/SGROUP, 8) f32 supergroup AABBs (level 3)
     mk_tri: Any  # (Cp, W/8, 128) f32
+    # --- MXU Woop table (small meshes, ops/pallas/woop.py): the whole
+    # mesh nearest-hit as brute-force matmuls; (8, 8) zeros when the
+    # scene exceeds the VMEM gate (mxu_chunks == 0) ---
+    mk_woop: Any  # (mxu_chunks*6*CHUNK, 8) f32
     # --- cubemap ---
     cm_offsets: Any  # (6,) i32
     cm_dims: Any  # (6, 2) i32 (w, h)
     cm_uv_scales: Any  # (6, 2) f32
-    # --- shared texel pool ---
-    tex_pool: Any  # (T,) f32
+    # --- texel pools: mesh textures and cubemap faces are SEPARATE
+    # pools (round 4): sky gathers were ~5 ms/iter on biplane against a
+    # 450 MB shared pool, and the gather microbench says ns/row drops
+    # ~40% in small pools. dtype u8/u16/f32 by source (see _TexPool). ---
+    tex_pool: Any  # (T,) u8 | u16 | f32
+    sky_pool: Any  # (S,) u8 | u16 | f32 — the 6 cubemap faces
     # --- static metadata (not traced) ---
     n_spheres: int = flax.struct.field(pytree_node=False, default=0)
     n_free_tris: int = flax.struct.field(pytree_node=False, default=0)
@@ -113,6 +121,8 @@ class SceneArrays:
     has_cubemap: bool = flax.struct.field(pytree_node=False, default=False)
     any_textured: bool = flax.struct.field(pytree_node=False, default=False)
     n_clusters: int = flax.struct.field(pytree_node=False, default=0)
+    # number of Woop chunks in mk_woop; 0 disables the MXU mesh pass
+    mxu_chunks: int = flax.struct.field(pytree_node=False, default=0)
 
 
 def _pad_to(n: int, mult: int) -> int:
@@ -149,30 +159,67 @@ def _mat_cols(mats: list):
 
 
 class _TexPool:
-    """Packs images into one flat f32 RGB texel array, deduping by
-    object identity (the loader caches per glTF image index)."""
+    """Packs images into one flat RGB texel array, deduping by object
+    identity (the loader caches per (gltf file, image index) so model
+    instances share decodes).
+
+    Pool dtype (finalize): when EVERY image came with integer source
+    texels (pixels_raw from the loader), the pool stays integer — u8
+    when all sources are 8-bit, else u16 (8-bit sources upscale by
+    x*257, bit-exact: (x*257)f32/65535.0 == (x)f32/255.0 for all x,
+    verified in tests). Consumers divide after the gather, so results
+    are bit-identical to an f32 pool while the HBM random-gather cost
+    drops with pool bytes (4x/2x — the round-3 gather microbench showed
+    pool size drives ns/row). Any float-typed source forces f32."""
 
     def __init__(self):
-        self.chunks: list = []
+        self.chunks: list = []  # (f32 flat, raw flat | None, raw dtype)
         self.offsets: dict = {}
         self.cursor = 0
 
-    def add(self, pixels: np.ndarray):
+    def add(self, pixels: np.ndarray, raw: Optional[np.ndarray] = None):
         key = id(pixels)
         if key in self.offsets:
             return self.offsets[key]
         h, w = pixels.shape[:2]
         flat = np.ascontiguousarray(pixels[:, :, :3], dtype=np.float32).reshape(-1)
+        flat_raw = None
+        if raw is not None and raw.dtype in (np.uint8, np.uint16):
+            flat_raw = np.ascontiguousarray(raw[:, :, :3]).reshape(-1)
+            assert flat_raw.size == flat.size, (flat_raw.size, flat.size)
         entry = (self.cursor, w, h)
         self.offsets[key] = entry
-        self.chunks.append(flat)
+        self.chunks.append((flat, flat_raw))
         self.cursor += flat.size
         return entry
 
     def finalize(self) -> np.ndarray:
         if not self.chunks:
-            return np.zeros((3,), np.float32)
-        return np.concatenate(self.chunks)
+            return np.zeros((3,), np.uint8)
+        if all(r is not None for _, r in self.chunks):
+            if all(r.dtype == np.uint8 for _, r in self.chunks):
+                return np.concatenate([r for _, r in self.chunks])
+            return np.concatenate([
+                r.astype(np.uint16) * np.uint16(257) if r.dtype == np.uint8
+                else r
+                for _, r in self.chunks
+            ])
+        return np.concatenate([f for f, _ in self.chunks])
+
+
+def pool_texels_to_f32(vals):
+    """Gathered pool texels -> f32 in [0,1]. Integer pools divide by
+    their full-scale constant AFTER the gather — bit-identical to the
+    all-f32 build (the loader's own u8->f32 conversion is the same
+    x/255.0 in f32; (x*257)/65535.0 == x/255.0 bitwise for u16-upcast
+    u8 sources). Works on jnp and np arrays."""
+    import jax.numpy as jnp
+
+    if vals.dtype == jnp.uint8:
+        return vals.astype(jnp.float32) / np.float32(255.0)
+    if vals.dtype == jnp.uint16:
+        return vals.astype(jnp.float32) / np.float32(65535.0)
+    return vals
 
 
 def _normalize_rows(a: np.ndarray, eps: float = 1e-20) -> np.ndarray:
@@ -258,7 +305,7 @@ def _mesh_triangle_arrays(meshes: list, pool: _TexPool):
             def tex_entry(tex):
                 if tex is None:
                     return (0, 0, 0), np.zeros((T, 3, 2), np.float32)
-                off, w, h = pool.add(tex.pixels)
+                off, w, h = pool.add(tex.pixels, raw=tex.pixels_raw)
                 return (off, w, h), tex.coords[idx].astype(np.float32)
 
             rgb_entry, uv_rgb = tex_entry(prim.rgb_tex)
@@ -314,19 +361,23 @@ def build_scene(scheme: Scheme, pad_mult: int = 2048, pad_small: int = 8) -> Sce
             raise TypeError(f"unknown member {m!r}")
 
     pool = _TexPool()
+    sky = _TexPool()  # cubemap faces get their own (small) pool
 
-    # --- cubemap first so face texels sit early in the pool ---
     cm_offsets = np.zeros((6,), np.int32)
     cm_dims = np.zeros((6, 2), np.int32)
     cm_uv_scales = np.ones((6, 2), np.float32)
     if cubemap is not None:
         from PIL import Image
 
+        face_cache: dict = {}  # repeated face paths share one decode
         for i, attr in enumerate(_FACE_ATTRS):
             face = getattr(cubemap, attr)
             p = resolve_asset_path(face.path, scheme.scheme_dir)
-            img = np.asarray(Image.open(p).convert("RGB"), dtype=np.float32) / 255.0
-            off, w, h = pool.add(img)
+            if p not in face_cache:
+                raw = np.asarray(Image.open(p).convert("RGB"), dtype=np.uint8)
+                face_cache[p] = (raw.astype(np.float32) / 255.0, raw)
+            img, raw = face_cache[p]
+            off, w, h = sky.add(img, raw=raw)
             cm_offsets[i] = off
             cm_dims[i] = (w, h)
             cm_uv_scales[i] = (face.u_scale, face.v_scale)
@@ -354,6 +405,7 @@ def build_scene(scheme: Scheme, pad_mult: int = 2048, pad_small: int = 8) -> Sce
     mt = _mesh_triangle_arrays(meshes, pool)
 
     tex_pool = pool.finalize()
+    sky_pool = sky.finalize()
 
     Sp = _pad_to(S, pad_small)
     Fp = _pad_to(F, pad_small)
@@ -390,6 +442,7 @@ def build_scene(scheme: Scheme, pad_mult: int = 2048, pad_small: int = 8) -> Sce
         cm_dims=cm_dims,
         cm_uv_scales=cm_uv_scales,
         tex_pool=tex_pool,
+        sky_pool=sky_pool,
         n_spheres=S,
         n_free_tris=F,
         n_mesh_tris=M,
@@ -429,6 +482,22 @@ def build_scene(scheme: Scheme, pad_mult: int = 2048, pad_small: int = 8) -> Sce
             cam_o=np.asarray(scheme.cam.o, np.float32),
         )
         kw.update(mk_bounds=mkb, mk_sbounds=mks, mk_sgbounds=mksg, mk_tri=mkt)
+
+        # MXU Woop table for small meshes (spaceship_r1 class): the
+        # fused kernel's brute-force matmul nearest-hit — 2.5x the
+        # cluster walk per pass and occupancy-independent
+        # (ops/pallas/woop.py). RTPU_MXU=0 forces the cluster path.
+        from ..ops.pallas.woop import MAX_TRIS as _WOOP_MAX, pack_woop_table_np
+
+        import os as _os
+
+        if M <= _WOOP_MAX and _os.environ.get("RTPU_MXU", "1") != "0":
+            woop_tab, n_wchunks = pack_woop_table_np(
+                v0, v1 - v0, v2 - v0
+            )
+            kw.update(mk_woop=woop_tab, mxu_chunks=n_wchunks)
+        else:
+            kw.update(mk_woop=np.zeros((8, 8), np.float32), mxu_chunks=0)
 
         any_tex = bool(
             (mt["rgb_tex"][:, 1] > 0).any()
@@ -493,6 +562,7 @@ def build_scene(scheme: Scheme, pad_mult: int = 2048, pad_small: int = 8) -> Sce
             mk_sbounds=np.zeros((0, 8), np.float32),
             mk_sgbounds=np.zeros((0, 8), np.float32),
             mk_tri=np.zeros((0, 1, 128), np.float32),
+            mk_woop=np.zeros((8, 8), np.float32),
             mt_v0=z3, mt_e1=z3, mt_e2=z3, mt_const_norm=z3,
             mt_nrm_mat=np.zeros((0, 3, 3), np.float32),
             mt_norm_scale=np.zeros((0,), np.float32),

@@ -94,6 +94,7 @@ def _kernel(
     lr_ref, lg_ref, lb_ref, depth_ref, lim_ref,
     # scene tables
     sph_ref, ft_ref, cam_ref, bounds_ref, sbounds_ref, sgbounds_ref, tri_hbm,
+    woop_ref,
     # carry out (18)
     flag_o, sk_o, state_o,
     ox_o, oy_o, oz_o, dx_o, dy_o, dz_o,
@@ -107,7 +108,7 @@ def _kernel(
     *, n_sph: int, n_ft: int, n_super: int, group: int, n_sg: int,
     sgroup: int, width: int,
     has_lens: bool, assured: int, max_bounces: int, spl: int,
-    queue: bool, hints: SceneHints,
+    queue: bool, hints: SceneHints, mxu_chunks: int = 0,
 ):
     xs = xs_ref[...].astype(jnp.float32)
     ys = ys_ref[...].astype(jnp.float32)
@@ -214,6 +215,22 @@ def _kernel(
     track_kind = s_["track_kind"]
     t_best = s_["t_best"]
 
+    # dead lanes seed -INF so they prune every slab test (and can
+    # never be beaten in the MXU pass)
+    tt_o[...] = jnp.where(active, t_best, -INF)
+    gid_o[...] = jnp.full_like(gid_o[...], -1)
+    bu_o[...] = jnp.zeros_like(bu_o[...])
+    bv_o[...] = jnp.zeros_like(bv_o[...])
+
+    if mxu_chunks:
+        # ---- mesh closest hit, MXU formulation (small meshes): the
+        # whole O(rays x tris) test as brute-force Woop matmuls — see
+        # ops/pallas/woop.py for rationale and microbench numbers ----
+        from .woop import mxu_mesh_hit
+
+        mxu_mesh_hit(ox, oy, oz, dx, dy, dz, woop_ref,
+                     tt_o, gid_o, bu_o, bv_o, n_chunks=mxu_chunks)
+
     # ---- mesh closest hit: supercluster DMA streaming (see
     # mesh_hit_kernel for the layout rationale) ----
     def clamp(d):
@@ -222,12 +239,6 @@ def _kernel(
     fx = 1.0 / clamp(dx)
     fy = 1.0 / clamp(dy)
     fz = 1.0 / clamp(dz)
-
-    # dead lanes seed -INF so they prune every slab test
-    tt_o[...] = jnp.where(active, t_best, -INF)
-    gid_o[...] = jnp.full_like(gid_o[...], -1)
-    bu_o[...] = jnp.zeros_like(bu_o[...])
-    bv_o[...] = jnp.zeros_like(bv_o[...])
 
     def slab_reach(ref, ci):
         b = lambda j: ref[ci, j]
@@ -320,7 +331,11 @@ def _kernel(
     # level-3 cull: one supergroup slab test retires SGROUP supers
     # (their always-paid per-block tests dominated at a380-scale
     # supercluster counts). Single-supergroup scenes skip the wrapper.
-    if n_sg > 1:
+    # MXU mode already resolved the mesh hit above — skip the walk
+    # (the defs above trace nothing unless called).
+    if mxu_chunks:
+        pass
+    elif n_sg > 1:
         def sg_body(g, _):
             @pl.when(jnp.any(slab_reach(sgbounds_ref, g)))
             def _():
@@ -476,30 +491,42 @@ def _kernel(
     jax.jit,
     static_argnames=(
         "n_sph", "n_ft", "n_clusters", "width", "has_lens", "assured",
-        "max_bounces", "spl", "queue", "hints", "interpret",
+        "max_bounces", "spl", "queue", "hints", "mxu_chunks", "interpret",
     ),
 )
 def bounce_tiles(
     xs, ys, samp, carry, sph_table, ft_table, cam_vec, bounds, sbounds,
-    sgbounds, tri,
+    sgbounds, tri, woop,
     n_sph: int, n_ft: int, n_clusters: int, width: int,
     has_lens: bool, assured: int, max_bounces: int, spl: int,
     queue: bool = False, hints: SceneHints = _PERMISSIVE,
-    interpret: bool = False,
+    mxu_chunks: int = 0, interpret: bool = False,
 ):
     """One bounce for every lane. xs/ys: (R, 128) i32 pixel grids;
     samp: (R, 128) i32 base sample id; carry: 18-tuple of (R, 128)
     lane-state arrays in _CARRY order (..., depth, lim); mesh tables
     from mesh_hit_kernel.pack_mesh_tables_np (n_clusters = padded Cp,
     a GROUP*SGROUP multiple; sgbounds = level-3 supergroup AABBs).
+    woop + mxu_chunks > 0 (small meshes) switch the mesh nearest-hit
+    to the brute-force MXU pass (ops/pallas/woop.py) — the cluster
+    tables are then unused (pass them anyway; they trace nothing).
     Returns (carry', gid, tt, bu, bv, md(3), mw(3))."""
     from .mesh_hit_kernel import GROUP, SGROUP
 
     rows = xs.shape[0]
     assert rows % SUBLANES == 0, rows
     assert n_clusters % (GROUP * SGROUP) == 0, n_clusters
-    grid = rows // SUBLANES
-    lane = pl.BlockSpec((SUBLANES, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    # MXU mode presents lanes as (rows/8, 1024) blocks: matmul width
+    # N = 1024 amortizes the per-dot fixed cost 8x (the row-major
+    # reshape preserves value order, so outputs reshape back
+    # transparently). Pools smaller than one (8, 1024) block keep the
+    # (8, 128) layout — the MXU pass works at N = 128 too.
+    factor = SUBLANES if (mxu_chunks and rows % (SUBLANES * SUBLANES) == 0) else 1
+    wide = LANES * factor
+    rows_w = rows // factor
+    rsh = (lambda a: a.reshape(rows_w, wide)) if factor > 1 else (lambda a: a)
+    grid = rows_w // SUBLANES
+    lane = pl.BlockSpec((SUBLANES, wide), lambda i: (i, 0), memory_space=pltpu.VMEM)
     smem = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.SMEM)
     bounds_space = pltpu.SMEM if n_clusters <= 512 else pltpu.VMEM
     table = lambda a, space: pl.BlockSpec(
@@ -507,11 +534,11 @@ def bounce_tiles(
     )
     f32 = jnp.float32
     out_shape = (
-        [jax.ShapeDtypeStruct((rows, LANES), f32)] * 2  # flag, sk
-        + [jax.ShapeDtypeStruct((rows, LANES), jnp.uint32)]  # state
-        + [jax.ShapeDtypeStruct((rows, LANES), f32)] * 15  # rays..depth,lim
-        + [jax.ShapeDtypeStruct((rows, LANES), jnp.int32)]  # gid
-        + [jax.ShapeDtypeStruct((rows, LANES), f32)] * 9  # tt,bu,bv,md,mw
+        [jax.ShapeDtypeStruct((rows_w, wide), f32)] * 2  # flag, sk
+        + [jax.ShapeDtypeStruct((rows_w, wide), jnp.uint32)]  # state
+        + [jax.ShapeDtypeStruct((rows_w, wide), f32)] * 15  # rays..depth,lim
+        + [jax.ShapeDtypeStruct((rows_w, wide), jnp.int32)]  # gid
+        + [jax.ShapeDtypeStruct((rows_w, wide), f32)] * 9  # tt,bu,bv,md,mw
     )
     kernel = functools.partial(
         _kernel,
@@ -519,6 +546,7 @@ def bounce_tiles(
         n_sg=n_clusters // GROUP // SGROUP, sgroup=SGROUP,
         width=width, has_lens=has_lens, assured=assured,
         max_bounces=max_bounces, spl=spl, queue=queue, hints=hints,
+        mxu_chunks=mxu_chunks,
     )
     outs = pl.pallas_call(
         kernel,
@@ -534,6 +562,7 @@ def bounce_tiles(
                 table(sbounds, pltpu.SMEM if sbounds.shape[0] <= 512 else pltpu.VMEM),
                 table(sgbounds, pltpu.SMEM if sgbounds.shape[0] <= 512 else pltpu.VMEM),
                 pl.BlockSpec(memory_space=pl.ANY),
+                table(woop, pltpu.VMEM),
             ]
         ),
         out_specs=[lane] * 28,
@@ -543,6 +572,8 @@ def bounce_tiles(
             pltpu.SemaphoreType.DMA((GROUP,)),
         ],
         interpret=interpret,
-    )(xs, ys, samp, *carry, sph_table, ft_table, cam_vec, bounds, sbounds,
-      sgbounds, tri)
+    )(rsh(xs), rsh(ys), rsh(samp), *(rsh(a) for a in carry),
+      sph_table, ft_table, cam_vec, bounds, sbounds, sgbounds, tri, woop)
+    if factor > 1:
+        outs = [o.reshape(rows, LANES) for o in outs]
     return outs[:18], outs[18:]

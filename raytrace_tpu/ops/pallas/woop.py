@@ -1,0 +1,156 @@
+"""MXU Woop-transform mesh intersection (round 4).
+
+For SMALL meshes (<= ~2.5k triangles — the spaceship_r1 class) the
+cluster-walk intersection in the mesh kernels is ~10x off the VPU flop
+roofline: the per-triangle work is serialized scalar VMEM loads plus a
+loop-carried read-modify-write of the best-hit refs, and on mesh-heavy
+scenes' diverged secondary rays the block-granular cull retires almost
+nothing (VERDICT round-3 items 1 and 7). This module reformulates the
+whole intersection as matmuls so the MXU does the O(rays x tris) work,
+brute-force — exactly the approach the reference GPU itself takes on
+this scene class (trace.wgsl:386-444; its KD traversal is a stub,
+trace.wgsl:664-667) at 12 Mpaths/s:
+
+  Build: per triangle, the affine map (W, b) to local coordinates
+  (u, v, w) where p = v0 + u e1 + v e2 + w n, n = e1 x e2. The w row is
+  left UNNORMALIZED (= n), so |d'w| equals the Moller-Trumbore det and
+  the reference's EPS det guard (trace.wgsl:628) transfers unchanged.
+  A triangle contributes SIX rows to the coefficient matrix A —
+  [u_o, v_o, w_o, u_d, v_d, w_d] — against the per-ray column
+  X = [ox oy oz 1 dx dy dz 0]: o' rows carry [W | -W v0 | 0], d' rows
+  [0 | 0 | W | 0]. Triangles stay in GLOBAL id order, so the argmin row
+  index IS the id (no in-kernel gather needed).
+
+  Kernel pass (inlined into mesh_bounce_kernel when scene.mxu_chunks):
+  per sublane row, dot(A_chunk (6c, 8), X (8, N)) at HIGHEST precision
+  (multi-pass bf16 ~ f32 — single-pass bf16 is numerically unusable
+  here: ray origins ~30 units vs triangle extents ~0.1 make the o'-row
+  cancellation catastrophic at 8 mantissa bits), then a ~20-op VPU
+  epilogue, log-tree min-reductions, and REGISTER carries across
+  chunks. No per-triangle serial chain, no scalar loads, no DMA, no
+  cull — cost is occupancy-independent and identical for coherent and
+  diverged rays.
+
+  Microbench (scripts/microbench_mxu.py, one v5e, 128k rays,
+  spaceship_r1 2097 tris): brute MXU 17.1-17.6 ms vs the cluster
+  kernel's 43.0-45.7 ms, on BOTH primary and diverged-bounce ray sets;
+  0 hit-mask / gid mismatches vs float64 Moller-Trumbore. A
+  chunk-culled variant (BVH-ordered chunks, slab test per chunk, gid
+  riding a 7th matmul row) measured 22.0 ms — the cull retires nothing
+  once a 1024-ray block spans the frame, and the chunk-outer scratch
+  RMW + extra row cost 28% — so brute it is.
+
+Numerics: same u, v, t as Moller-Trumbore in exact arithmetic; f32 +
+bf16-multipass evaluation differs in ulps, so cross-checks against the
+XLA integrator are tolerance-based (the cluster path keeps its
+bit-parity tests).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+EPS = 1e-4
+INF = 3.4e38
+CHUNK = 64  # triangles per matmul chunk (microbench-tuned)
+ROWS_PER_TRI = 6
+# VMEM budget gate: the (6*Tp, 8) f32 table pads its minor dim to 128
+# lanes in VMEM (6*Tp*512 B) — cap at ~7.9 MB so the bounce kernel's
+# lane blocks and chunk temps fit alongside. 2560 covers spaceship_r1.
+MAX_TRIS = 2560
+
+
+def pack_woop_table_np(v0, e1, e2):
+    """Triangle arrays ((M, 3) each, global order) ->
+    (woop (n_chunks*6*CHUNK, 8) f32, n_chunks). Rows of chunk ci are
+    grouped by component: [U_o | V_o | W_o | U_d | V_d | W_d] x CHUNK.
+    Degenerate and padding triangles get all-zero rows (d'w = 0 ->
+    rejected by the det guard)."""
+    v0 = np.asarray(v0, np.float64)
+    e1 = np.asarray(e1, np.float64)
+    e2 = np.asarray(e2, np.float64)
+    M = v0.shape[0]
+    Tp = -(-max(M, 1) // CHUNK) * CHUNK
+    n = np.cross(e1, e2)
+    mat = np.stack([e1, e2, n], axis=-1)  # columns [e1 e2 n]
+    det3 = np.linalg.det(mat)
+    ok = np.abs(det3) > 1e-30
+    inv = np.linalg.inv(np.where(ok[:, None, None], mat, np.eye(3)[None]))
+    inv[:, 2, :] = n  # unnormalized w row == MT det scale
+    inv = np.where(ok[:, None, None], inv, 0.0)
+    b = -np.einsum("mij,mj->mi", inv, v0)
+
+    n_chunks = Tp // CHUNK
+    A = np.zeros((Tp, ROWS_PER_TRI, 8), np.float64)
+    A[:M, 0:3, 0:3] = inv
+    A[:M, 0:3, 3] = b
+    A[:M, 3:6, 4:7] = inv
+    A = A.reshape(n_chunks, CHUNK, ROWS_PER_TRI, 8).transpose(0, 2, 1, 3)
+    return (A.reshape(n_chunks * ROWS_PER_TRI * CHUNK, 8).astype(np.float32),
+            n_chunks)
+
+
+def mxu_mesh_hit(ox, oy, oz, dx, dy, dz, woop_ref,
+                 tt_o, gid_o, bu_o, bv_o, *, n_chunks: int):
+    """The in-kernel pass: rays as (8, N) block VALUES (N a multiple of
+    128 — wider N amortizes matmul fixed cost; the caller reshapes its
+    lane arrays to (rows/8, 8*128) blocks). Best-hit OUTPUT refs are
+    seeded by the caller (tt_o = sphere/free-tri best, -INF on dead
+    lanes; gid_o = -1) and updated once per sublane row — the
+    cross-chunk carries live in registers."""
+    sub, N = ox.shape
+    assert sub == 8, ox.shape
+    chunk = CHUNK
+    one = jnp.ones((1, N), jnp.float32)
+    zero = jnp.zeros((1, N), jnp.float32)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (chunk, N), 0).astype(jnp.float32)
+
+    for r in range(8):  # static unroll over sublane rows
+        X = jnp.concatenate(
+            [ox[r:r + 1, :], oy[r:r + 1, :], oz[r:r + 1, :], one,
+             dx[r:r + 1, :], dy[r:r + 1, :], dz[r:r + 1, :], zero],
+            axis=0)  # (8, N)
+
+        def body(ci, carry, X=X):
+            tb, gb, ub, vb = carry
+            A = woop_ref[pl.ds(ci * ROWS_PER_TRI * chunk,
+                               ROWS_PER_TRI * chunk), :]
+            R = jax.lax.dot_general(
+                A, X, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)  # (6*chunk, N)
+            oU, oV, oW = (R[0:chunk], R[chunk:2 * chunk],
+                          R[2 * chunk:3 * chunk])
+            dU, dV, dW = (R[3 * chunk:4 * chunk], R[4 * chunk:5 * chunk],
+                          R[5 * chunk:6 * chunk])
+            okw = jnp.abs(dW) >= EPS  # == the MT det guard
+            invw = 1.0 / jnp.where(okw, dW, 1.0)
+            t = -oW * invw
+            u = oU + t * dU
+            v = oV + t * dV
+            valid = (okw & (u >= 0.0) & (u <= 1.0) & (v >= 0.0)
+                     & (u + v <= 1.0) & (t >= EPS))
+            tm = jnp.where(valid, t, INF)
+            tmin = jnp.min(tm, axis=0, keepdims=True)  # (1, N)
+            idx = jnp.where(tm == tmin, iota, float(chunk))
+            idxmin = jnp.min(idx, axis=0, keepdims=True)
+            sel = iota == idxmin  # unique row -> masked sums select
+            usel = jnp.sum(jnp.where(sel, u, 0.0), axis=0, keepdims=True)
+            vsel = jnp.sum(jnp.where(sel, v, 0.0), axis=0, keepdims=True)
+            better = (tmin < tb) & (idxmin < float(chunk))
+            gb = jnp.where(better,
+                           idxmin + (ci * chunk).astype(jnp.float32), gb)
+            tb = jnp.where(better, tmin, tb)
+            ub = jnp.where(better, usel, ub)
+            vb = jnp.where(better, vsel, vb)
+            return tb, gb, ub, vb
+
+        init = (tt_o[r:r + 1, :], jnp.full((1, N), -1.0),
+                jnp.zeros((1, N)), jnp.zeros((1, N)))
+        tb, gb, ub, vb = jax.lax.fori_loop(0, n_chunks, body, init)
+        tt_o[r:r + 1, :] = tb
+        gid_o[r:r + 1, :] = gb.astype(jnp.int32)
+        bu_o[r:r + 1, :] = ub
+        bv_o[r:r + 1, :] = vb

@@ -14,11 +14,15 @@ import jax.numpy as jnp
 
 
 def sample_nearest(tex_pool, offset, width, height, u, v):
-    """tex_pool: (T,) f32 flat RGB texels. offset/width/height: (...,)
+    """tex_pool: (T,) flat RGB texels — f32, or u8/u16 converted to
+    f32 after the gather (bit-identical; see
+    models.scene.pool_texels_to_f32). offset/width/height: (...,)
     int32 per-lane image descriptors. u, v: (...,) f32. Returns
-    (..., 3) RGB.
+    (..., 3) f32 RGB.
 
     Degenerate descriptors (width == 0) return black; callers mask."""
+    from ..models.scene import pool_texels_to_f32
+
     w = width.astype(jnp.float32)
     h = height.astype(jnp.float32)
     px = jnp.clip(u * w, 0.0, jnp.maximum(w - 1.0, 0.0)).astype(jnp.int32)
@@ -29,6 +33,7 @@ def sample_nearest(tex_pool, offset, width, height, u, v):
     rgb = jnp.stack(
         [jnp.take(tex_pool, base + i, mode="clip") for i in range(3)], axis=-1
     )
+    rgb = pool_texels_to_f32(rgb)
     return jnp.where(ok[..., None], rgb, 0.0)
 
 

@@ -129,13 +129,20 @@ DIFF_SCENE_FIELDS = (
     "sph_c", "sph_r", "sph_rgb", "sph_emissive",
     "ft_v0", "ft_e1", "ft_e2", "ft_norm", "ft_rgb", "ft_emissive",
     "mt_v0", "mt_e1", "mt_e2", "mt_const_norm", "mt_rgb_factor",
-    "tex_pool",
+    "tex_pool", "sky_pool",
 )
 
 
 def split_diff_scene(scene):
-    """scene -> (diff dict of float leaves, merge fn)."""
+    """scene -> (diff dict of float leaves, merge fn). Integer texel
+    pools (the compact u8/u16 build) are converted to pre-divided f32
+    pools here so texture gradients flow — the consumers key the
+    divide on pool dtype, so an f32 pool must hold the [0,1] values."""
+    from ..models.scene import pool_texels_to_f32
+
     diff = {f: getattr(scene, f) for f in DIFF_SCENE_FIELDS}
+    for f in ("tex_pool", "sky_pool"):
+        diff[f] = pool_texels_to_f32(diff[f])
     return diff, (lambda d: scene.replace(**d))
 
 

@@ -244,11 +244,13 @@ def sample_batch_mesh_fused(
                 xs2d, ys2d, samp2d, tuple(r2(a) for a in carry),
                 sph_table, ft_table, cam_vec,
                 scene.mk_bounds, scene.mk_sbounds, scene.mk_sgbounds, scene.mk_tri,
+                scene.mk_woop,
                 n_sph=scene.n_spheres, n_ft=scene.n_free_tris,
                 n_clusters=scene.mk_bounds.shape[0],
                 width=scene.cl_idx.shape[1],
                 has_lens=has_lens, assured=assured, max_bounces=max_b,
-                spl=spl, hints=hints, interpret=interpret,
+                spl=spl, hints=hints, mxu_chunks=scene.mxu_chunks,
+                interpret=interpret,
             )
             carry = [fl(a) for a in carry2d]
             gid, tt, bu, bv, mdx, mdy, mdz, mwr, mwg, mwb = (fl(a) for a in outs)
@@ -562,12 +564,13 @@ def wavefront_mesh_fused(
             r2(xs), r2(ys), r2(samp), tuple(r2(a) for a in carry),
             sph_table, ft_table, cam_vec,
             scene.mk_bounds, scene.mk_sbounds, scene.mk_sgbounds, scene.mk_tri,
+            scene.mk_woop,
             n_sph=scene.n_spheres, n_ft=scene.n_free_tris,
             n_clusters=scene.mk_bounds.shape[0],
             width=scene.cl_idx.shape[1],
             has_lens=has_lens,
             assured=assured, max_bounces=max_b, spl=spl, queue=True,
-            hints=hints, interpret=interpret,
+            hints=hints, mxu_chunks=scene.mxu_chunks, interpret=interpret,
         )
         carry = [fl(a) for a in carry2d]
         gid, tt, bu, bv, mdx, mdy, mdz, mwr, mwg, mwb = (fl(a) for a in outs)

@@ -471,7 +471,12 @@ def _fetch_rgb(tex_pool, base3) -> Vec3:
     gathers. The operand stays FLAT 1-D: a (T/3, 3) view would be
     (8, 128)-tiled in HBM, padding the minor dim 42x (the biplane pool
     is 453 MB flat), so the slice rides lax.gather's slice_sizes on
-    the 1-D layout instead. base3: flat offset of the R texel."""
+    the 1-D layout instead. base3: flat offset of the R texel.
+    Integer (u8/u16) pools convert to f32 AFTER the gather —
+    bit-identical values, 4x/2x fewer HBM bytes per random fetch
+    (models/scene.pool_texels_to_f32)."""
+    from ..models.scene import pool_texels_to_f32
+
     rgb = jax.lax.gather(
         tex_pool,
         base3[..., None],
@@ -483,6 +488,7 @@ def _fetch_rgb(tex_pool, base3) -> Vec3:
         slice_sizes=(3,),
         mode=jax.lax.GatherScatterMode.CLIP,
     )
+    rgb = pool_texels_to_f32(rgb)
     return Vec3(rgb[..., 0], rgb[..., 1], rgb[..., 2])
 
 
@@ -515,7 +521,7 @@ def sample_cubemap(scene, rd: Vec3) -> Vec3:
     py = jnp.clip(sv * hf, 0.0, jnp.maximum(hf - 1.0, 0.0)).astype(jnp.int32)
     ok = wid > 0
     base3 = jnp.where(ok, off + 3 * (px + py * wid), 0)
-    rgb = _fetch_rgb(scene.tex_pool, base3)
+    rgb = _fetch_rgb(scene.sky_pool, base3)
     z = jnp.float32(0.0)
     return Vec3(
         jnp.where(ok, rgb.x, z), jnp.where(ok, rgb.y, z), jnp.where(ok, rgb.z, z)

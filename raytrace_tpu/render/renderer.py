@@ -126,7 +126,7 @@ def sample_batch_fused(
     tables, cam_vec, scene, params, width, height, xs2d, ys2d, rep2d,
     sample_base, n_samples, samples_per_dispatch: int = 1,
     samples_per_lane: int = 1, has_lens: bool = False, hints=None,
-    hw_rng: bool = False,
+    hw_rng: bool = False, interpret: bool = False,
 ):
     """Fused-kernel equivalent of sample_batch for supported scenes
     (ops/pallas/trace_kernel.py): per sample round, one pallas_call
@@ -161,6 +161,7 @@ def sample_batch_fused(
             hints=hints if hints is not None else tk._PERMISSIVE,
             hw_rng=hw_rng,
             seed=(sample_base + s * spd).astype(jnp.int32).reshape(1, 1),
+            interpret=interpret,
         )
         if scene.has_cubemap:
             from .integrator import sample_cubemap
@@ -202,7 +203,7 @@ _jit_fused_step = jax.jit(
     sample_batch_fused,
     static_argnames=(
         "width", "height", "samples_per_dispatch", "samples_per_lane", "has_lens",
-        "hints", "hw_rng",
+        "hints", "hw_rng", "interpret",
     ),
 )
 _jit_wavefront_step = jax.jit(
@@ -224,6 +225,23 @@ _jit_wf_mesh_fused_step = jax.jit(
         "shade_width", "ablate",
     ),
 )
+
+
+# pend-shade mode threshold: estimated fraction of primary rays
+# entering the mesh root AABB above which the hybrid driver shades
+# pend lanes DENSE (full pool width) instead of deferring to a
+# pool//4 compacted buffer. Chosen from the round-4 sweep
+# (scripts/sweep_shade_mode.py, BENCH_NOTES round 4): deferral wins
+# sparse-pend scenes (biplane cov 0.21), saturates and loses ~30%
+# when pend production exceeds the fixed width (spaceship cov 0.58).
+SHADE_DENSE_COVERAGE = 0.30
+
+
+def pick_shade_width(coverage: float, pool: int) -> int:
+    """Shade width for the hybrid mesh driver: dense (== pool) for
+    mesh-heavy scenes, pool//4 deferral for sky-dominated ones.
+    Unit-tested at the boundary in tests/test_render.py."""
+    return pool if coverage > SHADE_DENSE_COVERAGE else pool // 4
 
 
 def _params_from_scheme(scheme: Scheme, mode: str, differentiable: bool, mesh_chunk: int):
@@ -256,6 +274,7 @@ class Renderer:
         use_mesh_fused: Optional[bool] = None,
         hw_rng: Optional[bool] = None,
         devices: Optional[Any] = None,
+        interpret: bool = False,
     ):
         """devices: devices to render on (default: ALL attached
         devices). With more than one, every dispatch spp-shards over a
@@ -265,6 +284,11 @@ class Renderer:
         partitioned exactly, so incremental/resumed renders stay
         stream-exact."""
         self.scheme = scheme
+        # interpret=True runs the Pallas kernels in interpret mode so
+        # the fused drivers (and their multi-device wrappers) execute
+        # on CPU — the virtual-mesh test path for renderer wiring that
+        # previously only ever ran on real TPU hardware
+        self.interpret = interpret
         info = scheme.render_info
         self.width, self.height = info.width, info.height
         self.devices = list(devices) if devices is not None else list(jax.devices())
@@ -386,6 +410,7 @@ class Renderer:
                 has_lens=self.camera.lens_r is not None,
                 hints=self._hints,
                 hw_rng=self.hw_rng,
+                interpret=self.interpret,
             )
 
         if self.use_mesh_fused:
@@ -411,7 +436,7 @@ class Renderer:
             # root AABB; RTPU_SHADE_WIDTH overrides (0 = pool/4
             # deferral, >= pool = dense).
             cov = self._mesh_coverage()
-            default_cw = self.mf_pool if cov > 0.30 else self.mf_pool // 4
+            default_cw = pick_shade_width(cov, self.mf_pool)
             self.mf_shade_width = int(
                 os.environ.get("RTPU_SHADE_WIDTH", str(default_cw))
             )
@@ -433,6 +458,7 @@ class Renderer:
                 hints=self._mhints,
                 spl=self.mf_spl,
                 shade_width=self.mf_shade_width,
+                interpret=self.interpret,
             )
 
         self._step = partial(
@@ -471,6 +497,7 @@ class Renderer:
             from ..parallel.distributed import make_spp_sharded_step
 
             _w, _h = self.width, self.height
+            _interp = self.interpret
             if self.use_fused:
                 _spd, _spl = self.spd, self._fspl
                 _hl, _hints, _hw = (
@@ -484,6 +511,7 @@ class Renderer:
                         xs2d, ys2d, rep2d, sample_base, n_samples,
                         samples_per_dispatch=_spd, samples_per_lane=_spl,
                         has_lens=_hl, hints=_hints, hw_rng=_hw,
+                        interpret=_interp,
                     )
 
                 self._multi_step, _ = make_spp_sharded_step(self._mesh1d, _fin, {})
@@ -498,7 +526,7 @@ class Renderer:
                         tables, cam_vec, scene, cam, params, _w, _h,
                         xs_tab, ys_tab, sample_base, n_samples,
                         pool=_pool, has_lens=_hl, hints=_hints, spl=_spl,
-                        shade_width=_cw,
+                        shade_width=_cw, interpret=_interp,
                     )
 
                 self._multi_step, _ = make_spp_sharded_step(self._mesh1d, _min, {})

@@ -36,7 +36,18 @@ SPP = int(os.environ.get("BENCH_MESH_SPP", "4"))
 
 N_TEXTURES = int(os.environ.get("BENCH_MESH_TEXTURES", "0"))
 TEX_SIZE = int(os.environ.get("BENCH_MESH_TEX_SIZE", "1024"))
+# geometry stand-ins for the missing a380 asset (its scene.bin is
+# absent from this snapshot — the reference itself cannot load it):
+#   soup      round-1/2 random soup (pathologically uncullable)
+#   surface   round-3 displaced-sphere surface, exactly 127,749 tris
+#   composite round 4 (VERDICT ask 2): SEVENTEEN instances of the REAL
+#             biplane glTF (7,316 tris each -> 124,372, 97% of the
+#             a380's 127,749) — real multi-part geometry with wings /
+#             struts / gear overlapping thin parts, real u8 textures,
+#             the honest test of whether cluster AABBs survive an
+#             actual aircraft rather than one smooth closed shell
 GEOM = os.environ.get("BENCH_MESH_GEOM", "surface")
+BIPLANE = "/root/reference/assets/airplane_biplane/scene.gltf"
 
 
 def _soup(n_tris, rng):
@@ -134,17 +145,43 @@ def make_mesh(n_tris: int, seed: int = 0) -> LoadedMesh:
     return LoadedMesh(primitives=prims, trans_mat=np.eye(4, dtype=np.float32))
 
 
-def main():
+def add_composite_members(scheme):
+    """Append 17 REAL biplane instances (7,316 tris each -> 124,372,
+    97% of the a380's 127,749) in a 2-layer formation inside the a380
+    camera frustum; per-instance yaw/pitch/roll so wings and fuselages
+    overlap at many orientations — the worst case for cluster AABBs
+    that a single smooth surface never exercises."""
+    k = 0
+    for tz in (-12.0, 0.0, 12.0):
+        for tx in (-26.0, -13.0, 0.0, 13.0, 26.0):
+            scheme.scene_members.append(cfg.ModelMember(
+                path=BIPLANE, uniform_scale=0.05,
+                translation=np.array([tx, 2.0 * ((k % 3) - 1), tz],
+                                     np.float32),
+                euler_angles=np.array(
+                    [0.15 * ((k % 5) - 2), 0.45 * k, 0.1 * ((k % 3) - 1)],
+                    np.float32),
+            ))
+            k += 1
+    for tx, ty, tz in ((-6.5, 7.0, 6.0), (6.5, 7.0, -6.0)):
+        scheme.scene_members.append(cfg.ModelMember(
+            path=BIPLANE, uniform_scale=0.05,
+            translation=np.array([tx, ty, tz], np.float32),
+            euler_angles=np.array([0.1, 0.45 * k, -0.1], np.float32)))
+        k += 1
+
+
+def a380_cam_scheme(spp=SPP):
+    """The a380.yml camera + sun over an empty member list."""
     raw = {
         "render_info": {
-            "width": W, "height": H, "samps_per_pix": SPP, "kd_tree_depth": 17,
+            "width": W, "height": H, "samps_per_pix": spp, "kd_tree_depth": 17,
             "rad_info": {
                 "debug_single_ray": False, "dir_light_samp": False,
                 "russ_roull_info": {"assured_depth": 5, "max_thres": 0.5},
             },
             "use_gpu": True,
         },
-        # a380.yml camera (reference schemes/a380.yml)
         "cam": {
             "d": [0, 0, 6], "up": [0, 1, 0], "view_eulers": [-0.6, 0.1, 0],
             "o": [0, -15, -30], "screen_width": 10.0, "screen_height": 5.0,
@@ -157,14 +194,23 @@ def main():
             }),
         ],
     }
-    scheme = cfg.parse_scheme(raw)
-    # splice the procedural mesh in (bypasses glTF loading only — the
-    # real build_scene packs the SoA AND its texel pool, so textured
-    # meshes get their pixels into scene.tex_pool; round 3 fixed a
-    # black-render bug where a prebuilt SoA pointed into a discarded
-    # pool)
-    scene = _build_with_mesh(scheme)
-    assert scene.n_mesh_tris == N_TRIS, scene.n_mesh_tris
+    return cfg.parse_scheme(raw)
+
+
+def main():
+    scheme = a380_cam_scheme()
+    if GEOM == "composite":
+        add_composite_members(scheme)
+        scene = scene_mod.build_scene(scheme)
+        assert scene.n_mesh_tris == 17 * 7316, scene.n_mesh_tris
+    else:
+        # splice the procedural mesh in (bypasses glTF loading only —
+        # the real build_scene packs the SoA AND its texel pool, so
+        # textured meshes get their pixels into scene.tex_pool; round 3
+        # fixed a black-render bug where a prebuilt SoA pointed into a
+        # discarded pool)
+        scene = _build_with_mesh(scheme)
+        assert scene.n_mesh_tris == N_TRIS, scene.n_mesh_tris
     print(f"scene: {scene.n_mesh_tris} tris, {scene.n_clusters} clusters "
           f"x{scene.cl_idx.shape[1]}, tex_pool "
           f"{scene.tex_pool.shape[0] * 4 / 1e6:.0f} MB", flush=True)
@@ -249,6 +295,39 @@ def main():
     print(f"steady: {dt:.1f}s for {SPP} spp -> {pps/1e6:.3f} Mpaths/s "
           f"(reference a380: GPU 0.26, CPU+kd 0.34)", flush=True)
     print("mean:", np.asarray(out).mean(axis=0), flush=True)
+
+    # per-scene JSON artifact (VERDICT round-3 ask 8)
+    import json
+
+    art_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "BENCH_SCENES_r04.json")
+    art = {}
+    if os.path.exists(art_path):
+        with open(art_path) as f:
+            art = json.load(f)
+    key = f"a380_{GEOM}" + (f"_tex{N_TEXTURES}" if N_TEXTURES else "")
+    art[key] = {
+        "scene": key, "spp": SPP, "width": W, "height": H,
+        "n_tris": int(scene.n_mesh_tris),
+        "paths_per_s": round(pps, 1),
+        "mpaths_per_s": round(pps / 1e6, 3),
+        "vs_ref_gpu": round(pps / 0.26e6, 3),
+        "vs_ref_cpu_kd": round(pps / 0.34e6, 3),
+        "seconds": round(dt, 2),
+        "config": {
+            "mode": mode, "geom": GEOM, "n_textures": N_TEXTURES,
+            "tex_pool_mb": round(np.asarray(scene.tex_pool).nbytes / 1e6, 1),
+            "tex_pool_dtype": str(np.asarray(scene.tex_pool).dtype),
+            "spl": int(os.environ.get("RTPU_MESH_SPL", "1")),
+            "rng": "ctr",
+        },
+        "image_mean": [round(float(x), 6)
+                       for x in np.asarray(out).mean(axis=0)],
+    }
+    with open(art_path, "w") as f:
+        json.dump(art, f, indent=1)
+    print(json.dumps(art[key]), flush=True)
 
 
 def _build_with_mesh(scheme):

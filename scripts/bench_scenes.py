@@ -1,0 +1,109 @@
+"""Per-scene production benchmarks with JSON artifacts (VERDICT
+round-3 ask 8): biplane and spaceship_r1 through the production hybrid
+driver at the Renderer's own configuration (shade mode picked by
+_mesh_coverage, default pool/cw/spl), each emitting one JSON record
+into BENCH_SCENES_r04.json so round-over-round comparisons stop
+depending on prose.
+
+    python scripts/bench_scenes.py [biplane spaceship_r1 ...]
+
+Env: BENCH_SCENES_SPP (default 64 biplane / 16 spaceship),
+RTPU_MXU=0 to force the cluster path on small meshes.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+import numpy as np
+
+# reference per-chip numbers to beat (BASELINE.md / README.md:167-170)
+REF = {
+    "biplane": {"gpu": 6.5e6, "cpu": 0.49e6},
+    "spaceship_r1": {"gpu": 12.0e6, "cpu": 0.25e6},
+}
+DEFAULT_SPP = {"biplane": 64, "spaceship_r1": 16}
+ART = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "BENCH_SCENES_r04.json")
+
+
+def bench_scheme(name: str) -> dict:
+    from raytrace_tpu.models.config import load_scheme
+    from raytrace_tpu.render.renderer import Renderer
+
+    scheme = load_scheme(f"/root/reference/schemes/{name}.yml")
+    spp = int(os.environ.get("BENCH_SCENES_SPP", DEFAULT_SPP.get(name, 16)))
+    r = Renderer(scheme)
+    W, H = r.width, r.height
+    cov = r._mesh_coverage()
+    mode = ("dense" if r.use_mesh_fused and r.mf_shade_width >= r.mf_pool
+            else "defer")
+    print(f"[{name}] {W}x{H} tris={r.scene.n_mesh_tris} "
+          f"clusters={r.scene.n_clusters} mxu_chunks={r.scene.mxu_chunks} "
+          f"tex_pool={np.asarray(r.scene.tex_pool).nbytes/1e6:.0f}MB"
+          f"({np.asarray(r.scene.tex_pool).dtype}) "
+          f"sky_pool={np.asarray(r.scene.sky_pool).nbytes/1e6:.0f}MB "
+          f"coverage={cov:.2f} shade={mode} driver="
+          f"{'mesh_fused' if r.use_mesh_fused else ('wavefront' if r.use_wavefront else 'plain')}",
+          flush=True)
+
+    t0 = time.time()
+    r.render(samples=1, progress=False)  # compile + warmup
+    print(f"  compile+first: {time.time()-t0:.1f}s", flush=True)
+    t0 = time.time()
+    r.render(samples=spp, progress=False)
+    dt = time.time() - t0
+    pps = W * H * spp / dt
+    rec = {
+        "scene": name, "spp": spp, "width": W, "height": H,
+        "paths_per_s": round(pps, 1),
+        "mpaths_per_s": round(pps / 1e6, 3),
+        "vs_ref_gpu": round(pps / REF[name]["gpu"], 4) if name in REF else None,
+        "vs_ref_cpu": round(pps / REF[name]["cpu"], 3) if name in REF else None,
+        "seconds": round(dt, 2),
+        "config": {
+            "driver": "mesh_fused" if r.use_mesh_fused else (
+                "wavefront" if r.use_wavefront else "plain"),
+            "pool": getattr(r, "mf_pool", None),
+            "shade_mode": mode, "shade_width": getattr(r, "mf_shade_width", None),
+            "spl": getattr(r, "mf_spl", None),
+            "mesh_coverage": round(cov, 3),
+            "mxu_chunks": r.scene.mxu_chunks,
+            "rng": "ctr",
+            "dispatch_cap_spp": int(os.environ.get(
+                "RTPU_MAX_DISPATCH_SPP",
+                "16" if mode == "dense" else "64")),
+        },
+        "image_mean": [round(float(x), 6)
+                       for x in r.target.mean_image().mean(axis=(0, 1))],
+    }
+    print(f"[{name}] {dt:.1f}s for {spp} spp -> {rec['mpaths_per_s']:.3f} "
+          f"Mpaths/s (ref GPU {REF.get(name, {}).get('gpu', 0)/1e6:.1f})",
+          flush=True)
+    return rec
+
+
+def main():
+    names = sys.argv[1:] or ["biplane", "spaceship_r1"]
+    art = {}
+    if os.path.exists(ART):
+        with open(ART) as f:
+            art = json.load(f)
+    for name in names:
+        rec = bench_scheme(name)
+        art[name] = rec
+        print(json.dumps(rec), flush=True)
+        with open(ART, "w") as f:
+            json.dump(art, f, indent=1)
+    print(f"wrote {ART}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -95,6 +95,7 @@ def test_sample_cubemap_matches_cubemap_oracle():
     scales = rg.uniform(0.5, 1.5, (6, 2)).astype(np.float32)
 
     class _S:  # the 4 attrs sample_cubemap reads
+        sky_pool = jnp.asarray(pool)
         tex_pool = jnp.asarray(pool)
         cm_offsets = jnp.asarray(offsets)
         cm_dims = jnp.asarray(dims)
