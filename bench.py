@@ -36,10 +36,10 @@ def main():
     # samples/lane per launch: the max-path-length drain tail and the
     # dispatch round-trip are paid once per launch, so fewer launches
     # win — 313.7 / 328.8 / 339.6 / 347.2 / 352.2 / 356.2 / 359.2 /
-    # 360.2 Mpaths/s at spd 32 / 64 / ... / 2048 / 6144. The default
-    # is ONE ~12 s launch for the whole run (far under the ~60 s
-    # watchdog; in-kernel sample regeneration keeps lanes full).
-    spd = int(os.environ.get("BENCH_SPD", "6144"))
+    # 360.2 Mpaths/s at spd 32 / 64 / ... / 2048 / 6144 (round 1).
+    # Round 4 (block_cols=4 wide blocks): 571.2 / 571.4 / 578.9 /
+    # 562.3 at spd 1024 / 2048 / 3072 / 6144 — two ~6 s launches.
+    spd = int(os.environ.get("BENCH_SPD", "3072"))
     # hardware-PRNG draws (BENCH_HW_RNG=0 for the counter RNG): same
     # unbiased estimator, statistically identical image (golden-mean
     # gated in tests); ~ faster on the VPU, where u32 multiplies are

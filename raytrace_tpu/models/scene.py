@@ -120,6 +120,11 @@ class SceneArrays:
     n_mesh_tris: int = flax.struct.field(pytree_node=False, default=0)
     has_cubemap: bool = flax.struct.field(pytree_node=False, default=False)
     any_textured: bool = flax.struct.field(pytree_node=False, default=False)
+    # per-kind texture statics: gate each fetch site at trace time so
+    # a texture kind absent from the WHOLE scene costs nothing
+    has_rgb_tex: bool = flax.struct.field(pytree_node=False, default=False)
+    has_norm_tex: bool = flax.struct.field(pytree_node=False, default=False)
+    has_mr_tex: bool = flax.struct.field(pytree_node=False, default=False)
     n_clusters: int = flax.struct.field(pytree_node=False, default=0)
     # number of Woop chunks in mk_woop; 0 disables the MXU mesh pass
     mxu_chunks: int = flax.struct.field(pytree_node=False, default=0)
@@ -499,11 +504,12 @@ def build_scene(scheme: Scheme, pad_mult: int = 2048, pad_small: int = 8) -> Sce
         else:
             kw.update(mk_woop=np.zeros((8, 8), np.float32), mxu_chunks=0)
 
-        any_tex = bool(
-            (mt["rgb_tex"][:, 1] > 0).any()
-            or (mt["norm_tex"][:, 1] > 0).any()
-            or (mt["mr_tex"][:, 1] > 0).any()
-        )
+        has_rgb = bool((mt["rgb_tex"][:, 1] > 0).any())
+        has_norm = bool((mt["norm_tex"][:, 1] > 0).any())
+        has_mr = bool((mt["mr_tex"][:, 1] > 0).any())
+        any_tex = has_rgb or has_norm or has_mr
+        kw.update(has_rgb_tex=has_rgb, has_norm_tex=has_norm,
+                  has_mr_tex=has_mr)
         # packed attribute matrix (see integrator._MT_ATTR for layout)
         attr = np.zeros((M, 48), np.float32)
         attr[:, 0:3] = mt["const_norm"]

@@ -716,7 +716,7 @@ def supports(scene, params) -> bool:
     jax.jit,
     static_argnames=(
         "n_sph", "n_ft", "has_lens", "assured", "max_bounces",
-        "samples_per_lane", "interpret", "hints", "hw_rng",
+        "samples_per_lane", "interpret", "hints", "hw_rng", "block_cols",
     ),
 )
 def trace_tiles(
@@ -724,6 +724,7 @@ def trace_tiles(
     n_sph: int, n_ft: int, has_lens: bool, assured: int,
     max_bounces: int, samples_per_lane: int = 1, interpret: bool = False,
     hints: SceneHints = _PERMISSIVE, hw_rng: bool = False, seed=None,
+    block_cols: int = 1,
 ):
     """xs/ys/samp: (R, 128) i32 lane grids (R multiple of SUBLANES).
     Returns (L (R,128,3 packed as 3 arrays), miss_dir 3x, miss_w).
@@ -733,10 +734,18 @@ def trace_tiles(
     hw_rng: draw uniforms from the TPU hardware PRNG (seeded from
     `seed`, a (1,1) i32, per grid program) instead of the
     counter-based PCG streams — faster, but not reproducible per
-    (pixel, sample); see the kernel comment."""
+    (pixel, sample); see the kernel comment.
+    block_cols: lane-tiles per kernel block (grid step) — the (8, 128)
+    arrays reshape row-major to (R/block_cols, 128*block_cols), so
+    values, streams and counter-RNG outputs are bitwise unchanged;
+    only the grid-step granularity moves. Measured on walled
+    (BENCH_NOTES round 4): per-block grid overhead was REAL — 445 /
+    539 / 562 / 534 / 504 / 419 Mpaths/s at 1 / 2 / 4 / 8 / 16 / 32 —
+    so the production default is 4 (renderer.py RTPU_BLOCK_COLS); the
+    32 falloff is VMEM pressure (live state ~50 arrays x block
+    bytes)."""
     rows = xs.shape[0]
     assert rows % SUBLANES == 0, rows
-    grid = rows // SUBLANES
     if hw_rng and interpret:
         # interpret mode stubs pltpu.prng_random_bits to zeros — the
         # render would be deterministic and biased (corner-pinned
@@ -744,16 +753,21 @@ def trace_tiles(
         hw_rng = False
     if seed is None:
         seed = jnp.zeros((1, 1), jnp.int32)
-    lane_spec = pl.BlockSpec((SUBLANES, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    bc = block_cols if rows % (SUBLANES * block_cols) == 0 else 1
+    wide = LANES * bc
+    rows_w = rows // bc
+    rsh = (lambda a: a.reshape(rows_w, wide)) if bc > 1 else (lambda a: a)
+    grid = rows_w // SUBLANES
+    lane_spec = pl.BlockSpec((SUBLANES, wide), lambda i: (i, 0), memory_space=pltpu.VMEM)
     smem = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.SMEM)
-    out_shape = [jax.ShapeDtypeStruct((rows, LANES), jnp.float32)] * 9
+    out_shape = [jax.ShapeDtypeStruct((rows_w, wide), jnp.float32)] * 9
     kernel = functools.partial(
         _kernel,
         n_sph=n_sph, n_ft=n_ft, has_lens=has_lens, assured=assured,
         max_bounces=max_bounces, samples_per_lane=samples_per_lane,
         hints=hints, hw_rng=hw_rng,
     )
-    return pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid=(grid,),
         in_specs=[
@@ -763,7 +777,10 @@ def trace_tiles(
         out_specs=[lane_spec] * 9,
         out_shape=out_shape,
         interpret=interpret,
-    )(xs, ys, samp, seed, sph_table, ft_table, cam_vec)
+    )(rsh(xs), rsh(ys), rsh(samp), seed, sph_table, ft_table, cam_vec)
+    if bc > 1:
+        outs = [o.reshape(rows, LANES) for o in outs]
+    return outs
 
 
 def make_cam_vec(cam, max_thres: float = 0.5) -> np.ndarray:

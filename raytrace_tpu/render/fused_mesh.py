@@ -100,7 +100,7 @@ def supports(scene, params: IntegratorParams) -> bool:
 
 def _mesh_shade(scene, cam, width, height, xs, ys, samp0, spl,
                 assured, max_bounces, max_thres, carry, gid, tt, bu, bv,
-                queue=False, precompacted=False):
+                queue=False, precompacted=False, attr_div=4):
     """Complete the bounce for mesh-pending lanes (flag == 2): draw the
     8 uniforms the kernel skipped, gather surface attributes
     (compacted), PBR divert (mesh/triangle.rs:190-226), gpu radiance
@@ -125,7 +125,7 @@ def _mesh_shade(scene, cam, width, height, xs, ys, samp0, spl,
     # stage shrinks 4x.
     del precompacted
     nx, ny, nz, rr_, rg_, rb_, met, rgh = mesh_attrs_compacted(
-        scene, pend, mi, bu, bv
+        scene, pend, mi, bu, bv, compact_div=attr_div
     )
     norm = Vec3(nx, ny, nz)
     ro = Vec3(ox, oy, oz)
@@ -306,7 +306,7 @@ def sample_batch_mesh_fused(
 
 def _pend_shade_defer(scene, cam, width, height, assured, max_bounces,
                       max_thres, carry, gid, tt, bu, bv, xs, ys, samp,
-                      cw, spl=1):
+                      cw, spl=1, attr_div=4):
     """_mesh_shade on a FIXED-width compacted buffer of the first `cw`
     mesh-pending lanes; the rest DEFER to the next iteration.
 
@@ -373,7 +373,7 @@ def _pend_shade_defer(scene, cam, width, height, assured, max_bounces,
     out_c = _mesh_shade(scene, cam, width, height, xs_c, ys_c, samp_c,
                         spl, assured, max_bounces, max_thres, carry_c,
                         gid_c, tt_c, bu_c, bv_c, queue=True,
-                        precompacted=True)
+                        precompacted=True, attr_div=attr_div)
     dest = jnp.where(in_slot, lane, pool)  # pool = discard (drop)
     out = list(carry)
     # indices _mesh_shade can change: flag, state, ray, throughput,
@@ -392,7 +392,7 @@ def wavefront_mesh_fused(
     sample_base, n_samples, pool: int, has_lens: bool = False, hints=None,
     interpret: bool = False, python_loop: bool = False,
     return_stats: bool = False, ablate: str = "", shade_width: int = 0,
-    spl: int = 1, compact_lanes: bool = False,
+    spl: int = 1, compact_lanes: bool = False, attr_div: int = 0,
 ):
     """Queue-refilled (wavefront) driver over the fused mesh bounce
     kernel — the round-2 production path for mesh scenes.
@@ -625,23 +625,27 @@ def wavefront_mesh_fused(
             )
             carry = tuple(carry)
         elif dense_shade:
-            # dense pend shade: no compaction machinery at all. Wins on
+            # dense pend shade: no deferral machinery. Wins on
             # mesh-heavy scenes (spaceship_r1: ~40%+ of lanes pend every
             # iteration — deferral at cw=pool/4 saturates, occupancy
             # collapses to ~45%, and full-width defer pays the rank
             # machinery for nothing; measured 0.87 vs 0.62-0.81
-            # Mpaths/s). The deferral path wins sky-heavy scenes where
-            # pend is sparse (biplane ~15%).
+            # Mpaths/s; re-swept round 4: dense 1.31 vs defer 0.93).
+            # The deferral path wins sky-heavy scenes where pend is
+            # sparse (biplane ~15%). attr_div=2: the inner
+            # attribute/texture compaction engages below HALF pend —
+            # spaceship averages 0.43, so the gather-heavy stage runs
+            # at half width most iterations.
             carry = _mesh_shade(
                 scene, cam, width, height, xs, ys, samp, spl,
                 assured, max_b, max_thres, tuple(carry), gid, tt, bu, bv,
-                queue=True,
+                queue=True, attr_div=(attr_div or 2),
             )
         else:
             carry = _pend_shade_defer(
                 scene, cam, width, height, assured, max_b, max_thres,
                 tuple(carry), gid, tt, bu, bv, xs, ys, samp, cw=cw,
-                spl=spl,
+                spl=spl, attr_div=(attr_div or 4),
             )
 
         # ---- retirement: deferred sky resolve + radiance scatter.

@@ -569,28 +569,43 @@ def mesh_attrs_dense(scene, mi, bu, bv):
                 jnp.where(ok, rgb.z, z),
             )
 
-        # raw [0,1] texel used as the tangent-space vector —
-        # parity with mesh/triangle.rs:149-151 (no 2x-1 remap)
-        uvn_u, uvn_v = interp(25)
-        _, ntexel = fetch(3, uvn_u, uvn_v)
-        mx = a(3) * ntexel.x + a(4) * ntexel.y + a(5) * ntexel.z
-        my = a(6) * ntexel.x + a(7) * ntexel.y + a(8) * ntexel.z
-        mz = a(9) * ntexel.x + a(10) * ntexel.y + a(11) * ntexel.z
-        mapped = v3.normalize(Vec3(mx, my, mz) * a(12), eps=1e-20)
-        mt_norm = v3.where(a(18) > 0.5, mapped, mt_const_norm)
+        # per-kind static gates (round 4): a fetch site whose texture
+        # kind exists NOWHERE in the scene would still pay its ~24
+        # ns/lane gather dense, masked to zero afterwards — e.g. the
+        # spaceship_r1 asset ships no metallicRoughness map but paid a
+        # third fetch every bounce (~3 ms/iter at 131k lanes)
+        if scene.has_norm_tex:
+            # raw [0,1] texel used as the tangent-space vector —
+            # parity with mesh/triangle.rs:149-151 (no 2x-1 remap)
+            uvn_u, uvn_v = interp(25)
+            _, ntexel = fetch(3, uvn_u, uvn_v)
+            mx = a(3) * ntexel.x + a(4) * ntexel.y + a(5) * ntexel.z
+            my = a(6) * ntexel.x + a(7) * ntexel.y + a(8) * ntexel.z
+            mz = a(9) * ntexel.x + a(10) * ntexel.y + a(11) * ntexel.z
+            mapped = v3.normalize(Vec3(mx, my, mz) * a(12), eps=1e-20)
+            mt_norm = v3.where(a(18) > 0.5, mapped, mt_const_norm)
+        else:
+            mt_norm = mt_const_norm
 
-        uvr_u, uvr_v = interp(19)
-        has_rt, rtexel = fetch(0, uvr_u, uvr_v)
-        one_t = jnp.ones_like(bu)
-        texmul = v3.where(has_rt, rtexel, Vec3(one_t, one_t, one_t))
-        mt_rgb = Vec3(a(13), a(14), a(15)) * texmul
+        if scene.has_rgb_tex:
+            uvr_u, uvr_v = interp(19)
+            has_rt, rtexel = fetch(0, uvr_u, uvr_v)
+            one_t = jnp.ones_like(bu)
+            texmul = v3.where(has_rt, rtexel, Vec3(one_t, one_t, one_t))
+            mt_rgb = Vec3(a(13), a(14), a(15)) * texmul
+        else:
+            mt_rgb = Vec3(a(13), a(14), a(15))
 
-        uvm_u, uvm_v = interp(31)
-        has_mt_, mtexel = fetch(6, uvm_u, uvm_v)
-        # metal scales the BLUE channel, rough the GREEN
-        # (mesh/triangle.rs:195-197 == trace.wgsl:1120-1123)
-        mt_metal = a(16) * jnp.where(has_mt_, mtexel.z, 1.0)
-        mt_rough = a(17) * jnp.where(has_mt_, mtexel.y, 1.0)
+        if scene.has_mr_tex:
+            uvm_u, uvm_v = interp(31)
+            has_mt_, mtexel = fetch(6, uvm_u, uvm_v)
+            # metal scales the BLUE channel, rough the GREEN
+            # (mesh/triangle.rs:195-197 == trace.wgsl:1120-1123)
+            mt_metal = a(16) * jnp.where(has_mt_, mtexel.z, 1.0)
+            mt_rough = a(17) * jnp.where(has_mt_, mtexel.y, 1.0)
+        else:
+            mt_metal = a(16)
+            mt_rough = a(17)
     else:
         mt_norm = mt_const_norm
         mt_rgb = Vec3(a(13), a(14), a(15))
@@ -600,15 +615,24 @@ def mesh_attrs_dense(scene, mi, bu, bv):
             mt_rgb.x, mt_rgb.y, mt_rgb.z, mt_metal, mt_rough)
 
 
-def mesh_attrs_compacted(scene, is_mt, mi_all, bu, bv):
+def mesh_attrs_compacted(scene, is_mt, mi_all, bu, bv, compact_div: int = 4):
     """mesh_attrs_dense evaluated only on the (typically sparse)
-    mesh-hit lanes: scatter their ids into a quarter-width compact
-    buffer (prefix-sum ranks), run the gather-heavy attribute/texture
-    path there, gather results back. If more than a quarter of the
-    lanes hit the mesh, a lax.cond falls back to the dense evaluation —
-    correctness never depends on the estimate."""
+    mesh-hit lanes: scatter their ids into a 1/compact_div-width
+    compact buffer (prefix-sum ranks), run the gather-heavy
+    attribute/texture path there, gather results back. If more than
+    1/compact_div of the lanes hit the mesh, a lax.cond falls back to
+    the dense evaluation — correctness never depends on the estimate.
+    Dense-shade mesh-heavy scenes use compact_div=2 (spaceship's pend
+    fraction averages 0.43 — above 1/4, below 1/2). compact_div <= 1
+    forces the dense evaluation with no cond at all — used by tests
+    that need bitwise-identical evaluation across drivers (the compact
+    and dense branches agree only to fusion-dependent ulps: XLA may
+    contract the uv-interp mul+adds differently per fusion shape, and
+    a one-ulp uv flip at a texel boundary picks a different texel)."""
     n_lanes = mi_all.shape[0]
-    K = n_lanes // 4
+    if compact_div <= 1:
+        return mesh_attrs_dense(scene, mi_all, bu, bv)
+    K = n_lanes // compact_div
     ranks = jnp.cumsum(is_mt.astype(jnp.int32))
     count = ranks[-1]
     dest = jnp.where(is_mt, ranks - 1, K)

@@ -162,6 +162,9 @@ def sample_batch_fused(
             hw_rng=hw_rng,
             seed=(sample_base + s * spd).astype(jnp.int32).reshape(1, 1),
             interpret=interpret,
+            # lane-tiles per kernel block (read at trace time): 4 won
+            # the round-4 walled sweep by +27% over 1 — see trace_tiles
+            block_cols=int(os.environ.get("RTPU_BLOCK_COLS", "4")),
         )
         if scene.has_cubemap:
             from .integrator import sample_cubemap
@@ -222,7 +225,7 @@ _jit_wf_mesh_fused_step = jax.jit(
     static_argnames=(
         "width", "height", "pool", "has_lens", "hints", "interpret",
         "python_loop", "return_stats", "spl", "compact_lanes",
-        "shade_width", "ablate",
+        "shade_width", "ablate", "attr_div",
     ),
 )
 
@@ -240,8 +243,39 @@ SHADE_DENSE_COVERAGE = 0.30
 def pick_shade_width(coverage: float, pool: int) -> int:
     """Shade width for the hybrid mesh driver: dense (== pool) for
     mesh-heavy scenes, pool//4 deferral for sky-dominated ones.
-    Unit-tested at the boundary in tests/test_render.py."""
+    Round-4 sweep (SWEEP_SHADE_r04.json, 5 scenes x 3 modes, 8 spp):
+    defer4 wins at coverage 0.10 (2.23 vs 2.18 dense) and 0.21 (3.06
+    vs 2.83); dense wins at 0.58 (1.31 vs 0.93), 0.90 (1.10 vs 0.93)
+    and 1.00 (0.469 vs 0.438); the pool//2 middle mode never wins
+    (rank machinery at 2x width without the density win). Any
+    threshold in (0.21, 0.58) fits the data; 0.30 stays.
+    Unit-tested at the boundary in tests/test_texpool.py."""
     return pool if coverage > SHADE_DENSE_COVERAGE else pool // 4
+
+
+def estimate_mesh_coverage(scene, cam, width: int, height: int) -> float:
+    """Estimated fraction of primary rays whose slab test enters the
+    mesh root AABB (numpy, every-8th-pixel grid, no jitter) — drives
+    the pend-shade mode choice. 0.0 when no mesh."""
+    mb = np.asarray(scene.mk_bounds)
+    valid = mb[:, 0] <= mb[:, 3]
+    if not valid.any():
+        return 0.0
+    lo = mb[valid, 0:3].min(axis=0)
+    hi = mb[valid, 3:6].max(axis=0)
+    xs = np.arange(0, width, 8, dtype=np.float32)
+    ys = np.arange(0, height, 8, dtype=np.float32)
+    X, Y = np.meshgrid(xs, ys)
+    s_x = (cam.x_cf * (X - cam.x_off))[..., None]
+    s_y = (cam.y_cf * (Y - cam.y_off))[..., None]
+    d = cam.d[None, None, :] + cam.right * s_x + cam.up * s_y
+    d = np.where(np.abs(d) < 1e-4, np.where(d < 0, -1e-4, 1e-4), d)
+    inv = 1.0 / d
+    t0 = (lo - cam.o) * inv
+    t1 = (hi - cam.o) * inv
+    entry = np.minimum(t0, t1).max(axis=-1)
+    exit_ = np.maximum(t0, t1).min(axis=-1)
+    return float(((entry <= exit_) & (exit_ >= 0.0)).mean())
 
 
 def _params_from_scheme(scheme: Scheme, mode: str, differentiable: bool, mesh_chunk: int):
@@ -313,6 +347,7 @@ class Renderer:
         self.cam_arrays = camera_to_arrays(self.camera)
         self.target = RenderTarget(self.width, self.height)
         self.tile_size = min(tile_size, self.width * self.height)
+        self._scene_dev = None  # lazy one-time device upload (render())
 
         from ..ops.pallas import trace_kernel as tk
 
@@ -555,29 +590,9 @@ class Renderer:
                 self._multi_step = self._multi_plain_step
 
     def _mesh_coverage(self) -> float:
-        """Estimated fraction of primary rays whose slab test enters
-        the mesh root AABB (numpy, every-8th-pixel grid, no jitter) —
-        drives the pend-shade mode choice. 0.0 when no mesh."""
-        mb = np.asarray(self.scene.mk_bounds)
-        valid = mb[:, 0] <= mb[:, 3]
-        if not valid.any():
-            return 0.0
-        lo = mb[valid, 0:3].min(axis=0)
-        hi = mb[valid, 3:6].max(axis=0)
-        cam = self.camera
-        xs = np.arange(0, self.width, 8, dtype=np.float32)
-        ys = np.arange(0, self.height, 8, dtype=np.float32)
-        X, Y = np.meshgrid(xs, ys)
-        s_x = (cam.x_cf * (X - cam.x_off))[..., None]
-        s_y = (cam.y_cf * (Y - cam.y_off))[..., None]
-        d = cam.d[None, None, :] + cam.right * s_x + cam.up * s_y
-        d = np.where(np.abs(d) < 1e-4, np.where(d < 0, -1e-4, 1e-4), d)
-        inv = 1.0 / d
-        t0 = (lo - cam.o) * inv
-        t1 = (hi - cam.o) * inv
-        entry = np.minimum(t0, t1).max(axis=-1)
-        exit_ = np.maximum(t0, t1).min(axis=-1)
-        return float(((entry <= exit_) & (exit_ >= 0.0)).mean())
+        return estimate_mesh_coverage(
+            self.scene, self.camera, self.width, self.height
+        )
 
     def _render_plain(self, scene_dev, base: int, n: int) -> int:
         """Run n samples (exactly, unless the multi-device step
@@ -681,7 +696,13 @@ class Renderer:
             hook = AsyncHook(update_hook)
             closer = hook.close
 
-        scene_dev = jax.device_put(self.scene)
+        # upload the scene ONCE per Renderer (round 4): re-uploading
+        # the texel pools every render() call cost seconds per call on
+        # tunneled devices (measured: biplane 4.40 -> 3.02 Mpaths/s
+        # when the upload rides inside the timed render)
+        if self._scene_dev is None:
+            self._scene_dev = jax.device_put(self.scene)
+        scene_dev = self._scene_dev
         n_pix = self.width * self.height
         rendered = 0
         while rendered < total:

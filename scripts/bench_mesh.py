@@ -128,11 +128,17 @@ def make_mesh(n_tris: int, seed: int = 0) -> LoadedMesh:
         rgb_tex = None
         if N_TEXTURES:
             prng = np.random.default_rng(1000 + p)
-            pixels = prng.uniform(0.2, 1.0, (TEX_SIZE, TEX_SIZE, 3)).astype(
-                np.float32
-            )
+            # u8 source texels like the real assets' PNGs -> the pool
+            # packs u8 (round 4); BENCH_MESH_TEX_F32=1 forces the old
+            # f32 pool for the storage-format comparison
+            raw = prng.integers(51, 256, (TEX_SIZE, TEX_SIZE, 3),
+                                dtype=np.uint8)
+            pixels = raw.astype(np.float32) / 255.0
+            if os.environ.get("BENCH_MESH_TEX_F32"):
+                raw = None
             coords = prng.uniform(0.0, 1.0, (3 * m, 2)).astype(np.float32)
-            rgb_tex = TextureData(pixels=pixels, coords=coords)
+            rgb_tex = TextureData(pixels=pixels, coords=coords,
+                                  pixels_raw=raw)
         prims.append(Primitive(
             poses=poses,
             norms=vnorms,
@@ -244,9 +250,18 @@ def main():
         tables = (jnp.asarray(sph_t), jnp.asarray(ft_t))
         pool = min(1 << 17, -(-(W * H) // 1024) * 1024)
         spl = int(os.environ.get("RTPU_MESH_SPL", "1"))
+        # shade mode by coverage, exactly like the production Renderer
+        from raytrace_tpu.render.renderer import (
+            estimate_mesh_coverage, pick_shade_width)
+
+        cov = estimate_mesh_coverage(scene, camera, W, H)
+        cw = int(os.environ.get(
+            "RTPU_SHADE_WIDTH", str(pick_shade_width(cov, pool))))
+        print(f"coverage {cov:.2f} -> shade_width {cw} "
+              f"({'dense' if cw >= pool else 'defer'})", flush=True)
         step = jax.jit(partial(
             wavefront_mesh_fused, width=W, height=H, pool=pool,
-            has_lens=False, hints=hints, spl=spl,
+            has_lens=False, hints=hints, spl=spl, shade_width=cw,
         ))
         t0 = time.time()
         out = step(tables, cam_vec, scene, cam, params,
@@ -321,6 +336,9 @@ def main():
             "tex_pool_dtype": str(np.asarray(scene.tex_pool).dtype),
             "spl": int(os.environ.get("RTPU_MESH_SPL", "1")),
             "rng": "ctr",
+            "coverage": round(locals().get("cov", -1.0), 3),
+            "shade_width": locals().get("cw"),
+            "mxu_chunks": scene.mxu_chunks,
         },
         "image_mean": [round(float(x), 6)
                        for x in np.asarray(out).mean(axis=0)],

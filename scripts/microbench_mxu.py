@@ -144,10 +144,10 @@ def _mxu_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, seed_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("chunk", "n_chunks", "highest", "interpret"),
+    static_argnames=("chunk", "n_chunks", "prec", "interpret"),
 )
 def mxu_hit(ox, oy, oz, dx, dy, dz, seed, woop, chunk: int, n_chunks: int,
-            highest: bool = True, interpret: bool = False):
+            prec: str = "highest", interpret: bool = False):
     """Rays as (R8, 1024) grids; woop (n_chunks*6*chunk, 8). Returns
     (t, gid_f32, u, v) each (R8, 1024); gid == -1 where nothing beat
     the seed."""
@@ -157,8 +157,9 @@ def mxu_hit(ox, oy, oz, dx, dy, dz, seed, woop, chunk: int, n_chunks: int,
     lane = pl.BlockSpec((SUB, N), lambda i: (i, 0), memory_space=pltpu.VMEM)
     kernel = functools.partial(
         _mxu_kernel, chunk=chunk, n_chunks=n_chunks,
-        precision=(jax.lax.Precision.HIGHEST if highest
-                   else jax.lax.Precision.DEFAULT),
+        precision={"highest": jax.lax.Precision.HIGHEST,
+                   "high": jax.lax.Precision.HIGH,
+                   "default": jax.lax.Precision.DEFAULT}[prec],
     )
     return pl.pallas_call(
         kernel,
@@ -426,6 +427,7 @@ def main():
             g(rd[:, 0]), g(rd[:, 1]), g(rd[:, 2]),
             jnp.full((vn // N, N), INF, jnp.float32), woop_j,
             chunk=chunk, n_chunks=n_chunks, interpret=on_cpu,
+            prec=__import__("os").environ.get("MXU_VAL_PREC", "highest"),
         )
         t = np.asarray(t).reshape(-1)
         gi = np.asarray(gf).reshape(-1).astype(np.int64)
@@ -490,16 +492,16 @@ def main():
         g = lambda a: jnp.asarray(a.astype(np.float32).reshape(rows8, N))
         args = (g(ro[:, 0]), g(ro[:, 1]), g(ro[:, 2]),
                 g(rd[:, 0]), g(rd[:, 1]), g(rd[:, 2]))
-        for highest in (True, False):
+        for prec in ("highest", "high", "default"):
             step = lambda c, *a: mxu_hit(
                 *a, c, woop_j, chunk=chunk, n_chunks=n_chunks,
-                highest=highest)[0]
+                prec=prec)[0]
             f = reps_runner(step, reps)
             t0 = time.time()
             np.asarray(f(seed, *args))
             print(f"  (compile {time.time()-t0:.0f}s)", flush=True)
             dt = timeit(f, seed, *args) / reps
-            print(f"[{name}] mxuK8 highest={highest}: {dt*1e3:7.2f} ms "
+            print(f"[{name}] mxuK8 prec={prec}: {dt*1e3:7.2f} ms "
                   f"/128k-lane pass ({pool/dt/1e6:6.1f} Mray/s)", flush=True)
 
     # --- cluster-kernel baseline ---

@@ -146,11 +146,16 @@ def test_wavefront_mesh_fused_deferral():
         has_lens=False, hints=hints, interpret=True, python_loop=True,
         return_stats=True,
     )
+    # attr_div=-1 forces the dense attribute evaluation on BOTH
+    # drivers: the compact/dense cond branches agree only to
+    # fusion-dependent ulps (see mesh_attrs_compacted), and this test's
+    # claim is about WHEN a bounce completes, not branch-choice ulps
     ref, rstats = fm.wavefront_mesh_fused(
-        tables, cam_vec, scene, cam, params, **kw
+        tables, cam_vec, scene, cam, params, attr_div=-1, **kw
     )
     out, dstats = fm.wavefront_mesh_fused(
-        tables, cam_vec, scene, cam, params, shade_width=128, **kw
+        tables, cam_vec, scene, cam, params, shade_width=128, attr_div=-1,
+        **kw
     )
     assert int(dstats["iterations"]) > int(rstats["iterations"]), (
         "shade_width=128 should force deferral iterations"
