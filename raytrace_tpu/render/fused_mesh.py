@@ -393,6 +393,7 @@ def wavefront_mesh_fused(
     interpret: bool = False, python_loop: bool = False,
     return_stats: bool = False, ablate: str = "", shade_width: int = 0,
     spl: int = 1, compact_lanes: bool = False, attr_div: int = 0,
+    retire_width: int = 0,
 ):
     """Queue-refilled (wavefront) driver over the fused mesh bounce
     kernel — the round-2 production path for mesh scenes.
@@ -462,6 +463,25 @@ def wavefront_mesh_fused(
     # element gathers (scripts/microbench_gather.py)
     xy_tab = jnp.stack([xs_tab, ys_tab], axis=-1)
 
+    # strict deferred retirement (retire_width > 0, spl == 1): the
+    # sky resolve + image scatter always run at retire_width rows —
+    # retirements that exceed the width bank their sky dir/weight in
+    # six carried arrays (skc), take flag = -1 ("retired, unscattered"
+    # — the kernel passes inactive flags through untouched and assign
+    # skips them, so their L/pix freeze in place), and are selected
+    # again next iteration. spl > 1 instead uses a lax.cond dense
+    # fallback on overflow (chunked lanes regenerate in-kernel on a
+    # miss, so a miss is not a retirement and the banking invariant
+    # "banked lane is idle" would not hold).
+    strict = (0 < retire_width < pool) and spl == 1 and not ab
+
+    def resolve(m_t, md_t, mw_t):
+        sky = sample_cubemap(
+            scene, v3.where(m_t, md_t, Vec3.full_like(md_t.x, 1.0, 0.0, 0.0))
+        )
+        add = v3.where(m_t, mw_t * sky, Vec3.zeros_like(mw_t.x))
+        return add.x, add.y, add.z
+
     def assign(carry, xs, ys, samp, pix, q):
         """Hand the next work units (chunks) to every retired lane
         (rank = prefix sum, chunk-row-major ids). Refilled lanes are
@@ -474,7 +494,10 @@ def wavefront_mesh_fused(
         resets ride the kernel's fresh branch where those arrays are
         already in VMEM registers."""
         flag = carry[0]
-        need = flag < 0.5
+        # flag == -1 (strict mode: retired, unscattered) is NOT
+        # refillable — its L/pix must freeze until the compacted
+        # retirement reaches it
+        need = (flag > -0.5) & (flag < 0.5)
         ranks = jnp.cumsum(need.astype(jnp.int32))
         ids = q + ranks - 1
         valid = need & (ids < n_units)
@@ -507,7 +530,7 @@ def wavefront_mesh_fused(
         return jnp.any(c[3][0] > 0.5)
 
     def body(c):
-        q, stats, acc, carry, xs, ys, samp, pix, hitc = c
+        q, stats, acc, carry, xs, ys, samp, pix, hitc, skc = c
         if compact_lanes:
             # three-way stable partition active | pend | dead before
             # the kernel launch (round 3): deferred-pend and dead
@@ -544,6 +567,7 @@ def wavefront_mesh_fused(
             cols = [carry[0], carry[1], bc(carry[2])] + list(carry[3:])
             cols += [bc(hitc[0]), hitc[1], hitc[2], hitc[3],
                      bc(xs), bc(ys), bc(samp), bc(pix)]
+            cols += list(skc)  # strict-retire sky banks (empty if off)
             mat = jnp.take(jnp.stack(cols, axis=-1), inv, axis=0)
             col = lambda k: mat[:, k]
             ibc = lambda a: jax.lax.bitcast_convert_type(a, jnp.int32)
@@ -554,12 +578,13 @@ def wavefront_mesh_fused(
             hitc = (ibc(col(18)), col(19), col(20), col(21))
             xs, ys = ibc(col(22)), ibc(col(23))
             samp, pix = ibc(col(24)), ibc(col(25))
+            skc = tuple(col(26 + k) for k in range(len(skc)))
         was_active = carry[0] > 0.5
         # deferred lanes (flag == 2 at launch) are skipped by the
         # kernel — don't count them as bounce work in lane_bounces
         did_work = was_active & ~((carry[0] > 1.5) & (carry[0] < 2.5))
-        stats = (stats[0] + 1, stats[1] + jnp.sum(did_work.astype(jnp.int32)),
-                 stats[2], stats[3])
+        stats = (stats[0] + 1, stats[1] + jnp.sum(did_work.astype(jnp.int32))
+                 ) + stats[2:]
         carry2d, outs = bounce_tiles(
             r2(xs), r2(ys), r2(samp), tuple(r2(a) for a in carry),
             sph_table, ft_table, cam_vec,
@@ -585,8 +610,8 @@ def wavefront_mesh_fused(
         hitc = (gid, tt, bu, bv)
 
         n_pend = jnp.sum((carry[0] > 1.5).astype(jnp.int32))
-        stats = (stats[0], stats[1], stats[2] + n_pend,
-                 jnp.maximum(stats[3], n_pend))
+        stats = stats[:2] + (stats[2] + n_pend,
+                             jnp.maximum(stats[3], n_pend)) + stats[4:]
 
         # ---- queue refill FIRST (before the pend shade): both rank
         # prefix-sums (refill `need`, shade `pend`) then depend only on
@@ -599,18 +624,29 @@ def wavefront_mesh_fused(
         # fresh branch NEXT launch).
         term1 = was_active & (carry[0] < 0.5)
         pix_prev = pix
-        if "assign" in ab:
-            # timing stub: skip the queue work (cumsum + table gathers);
-            # lanes restart in place — image meaningless, shape preserved
-            flag = carry[0]
-            need = flag < 0.5
-            n_need = jnp.sum(need.astype(jnp.int32))
-            valid = need & (q < n_units)
-            q = jnp.minimum(q + n_need, n_units)
-            carry = list(carry)
-            carry[0] = jnp.where(valid, 3.0, flag)
+
+        def do_assign(carry, xs, ys, samp, pix, q):
+            if "assign" in ab:
+                # timing stub: skip the queue work (cumsum + table
+                # gathers); lanes restart in place — image meaningless,
+                # shape preserved
+                flag = carry[0]
+                need = (flag > -0.5) & (flag < 0.5)
+                n_need = jnp.sum(need.astype(jnp.int32))
+                valid = need & (q < n_units)
+                q = jnp.minimum(q + n_need, n_units)
+                carry = list(carry)
+                carry[0] = jnp.where(valid, 3.0, flag)
+            else:
+                carry, xs, ys, samp, pix, q = assign(
+                    tuple(carry), xs, ys, samp, pix, q
+                )
+                carry = list(carry)
+            return carry, xs, ys, samp, pix, q
+
+        if not strict:
+            carry, xs, ys, samp, pix, q = do_assign(carry, xs, ys, samp, pix, q)
         else:
-            carry, xs, ys, samp, pix, q = assign(tuple(carry), xs, ys, samp, pix, q)
             carry = list(carry)
 
         flag_pre_shade = carry[0]
@@ -651,27 +687,37 @@ def wavefront_mesh_fused(
         # ---- retirement: deferred sky resolve + radiance scatter.
         # The sky term is added into the lane's CARRIED radiance (a
         # chunked lane that missed regenerates in place and retires
-        # iterations later), tile-cond'd so only 8k-lane tiles
-        # containing a missed lane pay the texel gathers (the classic
-        # driver's formulation, wavefront.py). The scatter stays DENSE
-        # over the pool — no rank cumsum, no lax.cond (measured
-        # dominant in the earlier compacted/tiered formulations).
+        # iterations later). Two formulations:
+        #   dense (retire_width == 0): tile-cond'd sky resolve + a
+        #     pool-width masked scatter-add (row n_pix discards).
+        #   compacted (retire_width == rw > 0): ONE rank cumsum over
+        #     sel = missed | retiring, one (pool, 12) row gather of the
+        #     selected lanes, sky texel gathers + the image scatter at
+        #     rw width, results scattered back. Falls back to the dense
+        #     branch via lax.cond on the rare iteration where sel
+        #     overflows rw (counted in stats). Wins mesh-heavy scenes
+        #     (spaceship_r1: sel ~43% of pool, the dense ops pay 100%);
+        #     loses sky-dominated ones (biplane: ~79% of lanes retire
+        #     every iteration — nothing to compact).
         term2 = (flag_pre_shade > 1.5) & (carry[0] < 0.5)  # shade RR kill
         term = term1 | term2
         do_sky = scene.has_cubemap and "sky" not in ab
         carry = list(carry)
+        Lr0, Lg0, Lb0 = carry[13], carry[14], carry[15]
 
         if do_sky:
             md = Vec3(mdx, mdy, mdz)
             missed = (md.x != 0.0) | (md.y != 0.0) | (md.z != 0.0)
+        else:
+            md = Vec3(mdx, mdy, mdz)
+            missed = jnp.zeros((pool,), jnp.bool_)
 
-            def resolve(m_t, md_t, mw_t):
-                sky = sample_cubemap(
-                    scene, v3.where(m_t, md_t, Vec3.full_like(md_t.x, 1.0, 0.0, 0.0))
-                )
-                add = v3.where(m_t, mw_t * sky, Vec3.zeros_like(mw_t.x))
-                return add.x, add.y, add.z
-
+        def dense_sky():
+            """Sky-resolved carried radiance, full pool width (the
+            tile-cond'd scan skips 8k-lane tiles with no missed
+            lane)."""
+            if not do_sky:
+                return Lr0, Lg0, Lb0
             TS = 8192
             if pool > TS and pool % TS == 0 and "dense_sky" not in ab:
                 n_t = pool // TS
@@ -692,32 +738,149 @@ def wavefront_mesh_fused(
                      resh(mwr), resh(mwg), resh(mwb),
                      jnp.any(resh(missed), axis=1)),
                 )
-                sx, sy, sz = sx.reshape(pool), sy.reshape(pool), sz.reshape(pool)
+                sx, sy, sz = (
+                    sx.reshape(pool), sy.reshape(pool), sz.reshape(pool)
+                )
             else:
                 sx, sy, sz = resolve(missed, md, Vec3(mwr, mwg, mwb))
-            carry[13] = carry[13] + sx
-            carry[14] = carry[14] + sy
-            carry[15] = carry[15] + sz
-        Lr, Lg, Lb = carry[13], carry[14], carry[15]
-        if "scatter" in ab:
-            acc = acc.at[0].add(
-                jnp.stack([jnp.sum(jnp.where(term, Lr, 0.0)),
-                           jnp.sum(jnp.where(term, Lg, 0.0)),
-                           jnp.sum(jnp.where(term, Lb, 0.0))])
-            )
-        else:
+            return Lr0 + sx, Lg0 + sy, Lb0 + sz
+
+        def dense_scatter(acc, Lr, Lg, Lb):
+            if "scatter" in ab:
+                return acc.at[0].add(
+                    jnp.stack([jnp.sum(jnp.where(term, Lr, 0.0)),
+                               jnp.sum(jnp.where(term, Lg, 0.0)),
+                               jnp.sum(jnp.where(term, Lb, 0.0))])
+                )
             idx = jnp.where(term, pix_prev, n_pix)  # row n_pix = discard
             vals = jnp.stack(
                 [jnp.where(term, Lr, 0.0),
                  jnp.where(term, Lg, 0.0),
                  jnp.where(term, Lb, 0.0)], axis=-1,
             )
-            acc = acc.at[idx].add(vals)
-        return q, stats, acc, tuple(carry), xs, ys, samp, pix, hitc
+            return acc.at[idx].add(vals)
 
-    stats0 = (jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0))
+        rw = 0 if ab else retire_width
+        if strict:
+            # ---- strict deferred retirement (spl == 1): sky resolve +
+            # image scatter at a FIXED rw width every iteration. sel =
+            # this iteration's retirees + previously deferred (-1)
+            # lanes; the first rw (by lane index) are processed, the
+            # rest bank their transient sky dir/weight in skc, take
+            # flag = -1 and are re-selected next iteration (their
+            # L/pix freeze: the kernel passes inactive flags through
+            # and the refill below skips them). The refill runs AFTER
+            # this block so a deferred lane is never handed new work —
+            # the bank holds at most one pending retirement per lane.
+            # Any backlog left when the queue drains is flushed by the
+            # dense post-loop drain.
+            prev_def = carry[0] < -0.5
+            sel = term | prev_def
+            md_m = v3.where(prev_def, Vec3(skc[0], skc[1], skc[2]), md)
+            mw_m = v3.where(
+                prev_def, Vec3(skc[3], skc[4], skc[5]), Vec3(mwr, mwg, mwb)
+            )
+            ranks = jnp.cumsum(sel.astype(jnp.int32)) - 1
+            cnt = ranks[-1] + 1
+            fit = sel & (ranks < rw)
+            defer = sel & (ranks >= rw)
+            stats = stats[:4] + (
+                stats[4] + cnt, jnp.maximum(stats[5], cnt),
+                stats[6] + jnp.any(defer).astype(jnp.int32),
+            )
+            zf = jnp.zeros((pool,), jnp.float32)
+            skc = tuple(
+                jnp.where(defer, a, 0.0)
+                for a in (md_m.x, md_m.y, md_m.z, mw_m.x, mw_m.y, mw_m.z)
+            )
+            carry[0] = jnp.where(
+                defer, -1.0, jnp.where(prev_def, 0.0, carry[0])
+            )
+            slot = jnp.where(fit, ranks, rw)
+            lane = (
+                jnp.zeros((rw + 1,), jnp.int32)
+                .at[slot]
+                .set(jnp.arange(pool, dtype=jnp.int32), mode="drop")[:rw]
+            )
+            in_slot = jnp.arange(rw, dtype=jnp.int32) < jnp.minimum(cnt, rw)
+            bcf = lambda a: jax.lax.bitcast_convert_type(a, jnp.float32)
+            cols = [md_m.x, md_m.y, md_m.z, mw_m.x, mw_m.y, mw_m.z,
+                    Lr0, Lg0, Lb0, bcf(pix_prev)]
+            sub = jnp.take(jnp.stack(cols, axis=-1), lane, axis=0)
+            ibc = lambda a: jax.lax.bitcast_convert_type(a, jnp.int32)
+            md_c = Vec3(sub[:, 0], sub[:, 1], sub[:, 2])
+            mw_c = Vec3(sub[:, 3], sub[:, 4], sub[:, 5])
+            L_c = Vec3(sub[:, 6], sub[:, 7], sub[:, 8])
+            pix_c = ibc(sub[:, 9])
+            miss_c = (
+                (md_c.x != 0.0) | (md_c.y != 0.0) | (md_c.z != 0.0)
+            ) & in_slot
+            if do_sky:
+                sx, sy, sz = resolve(miss_c, md_c, mw_c)
+                L_c = L_c + Vec3(sx, sy, sz)
+            idx = jnp.where(in_slot, pix_c, n_pix)
+            vals = jnp.stack(
+                [jnp.where(in_slot, L_c.x, 0.0),
+                 jnp.where(in_slot, L_c.y, 0.0),
+                 jnp.where(in_slot, L_c.z, 0.0)], axis=-1,
+            )
+            acc = acc.at[idx].add(vals)
+            carry, xs, ys, samp, pix, q = do_assign(carry, xs, ys, samp, pix, q)
+            return q, stats, acc, tuple(carry), xs, ys, samp, pix, hitc, tuple(skc)
+        if 0 < rw < pool:
+            # non-strict compaction (spl > 1, chunked): the sky MUST
+            # resolve densely — a chunked lane that missed regenerated
+            # in-kernel and carries its sky radiance until the chunk
+            # retires — but the image scatter compacts over term only
+            # (chunking makes term rare: ~1/spl of the spl == 1 rate),
+            # falling back dense via lax.cond on overflow.
+            Lr, Lg, Lb = dense_sky()
+            sel = term
+            ranks = jnp.cumsum(sel.astype(jnp.int32)) - 1
+            cnt = ranks[-1] + 1
+            stats = stats[:4] + (
+                stats[4] + cnt, jnp.maximum(stats[5], cnt),
+                stats[6] + (cnt > rw).astype(jnp.int32),
+            )
+
+            def compact_scatter(acc):
+                slot = jnp.where(sel & (ranks < rw), ranks, rw)
+                lane = (
+                    jnp.zeros((rw + 1,), jnp.int32)
+                    .at[slot]
+                    .set(jnp.arange(pool, dtype=jnp.int32), mode="drop")[:rw]
+                )
+                in_slot = jnp.arange(rw, dtype=jnp.int32) < cnt
+                bcf = lambda a: jax.lax.bitcast_convert_type(a, jnp.float32)
+                cols = [Lr, Lg, Lb, bcf(pix_prev)]
+                sub = jnp.take(jnp.stack(cols, axis=-1), lane, axis=0)
+                ibc = lambda a: jax.lax.bitcast_convert_type(a, jnp.int32)
+                pix_c = ibc(sub[:, 3])
+                idx = jnp.where(in_slot, pix_c, n_pix)
+                vals = jnp.stack(
+                    [jnp.where(in_slot, sub[:, 0], 0.0),
+                     jnp.where(in_slot, sub[:, 1], 0.0),
+                     jnp.where(in_slot, sub[:, 2], 0.0)], axis=-1,
+                )
+                return acc.at[idx].add(vals)
+
+            acc = jax.lax.cond(
+                cnt > rw,
+                lambda a: dense_scatter(a, Lr, Lg, Lb),
+                compact_scatter, acc,
+            )
+        else:
+            Lr, Lg, Lb = dense_sky()
+            acc = dense_scatter(acc, Lr, Lg, Lb)
+        carry[13], carry[14], carry[15] = Lr, Lg, Lb
+        if strict:
+            carry, xs, ys, samp, pix, q = do_assign(carry, xs, ys, samp, pix, q)
+        return q, stats, acc, tuple(carry), xs, ys, samp, pix, hitc, tuple(skc)
+
+    stats0 = tuple(jnp.int32(0) for _ in range(7))
     hitc0 = (izero - 1, zero, zero, zero)
-    init = (q0, stats0, acc0, carry0, xs0, ys0, samp0, pix0, hitc0)
+    skc0 = (zero,) * 6 if strict else ()
+    init = (q0, stats0, acc0, carry0, xs0, ys0, samp0, pix0, hitc0, skc0)
     if python_loop:
         # tests only (see sample_batch_mesh_fused): the interpret-mode
         # kernel emulation inside a while_loop is too large for the CPU
@@ -729,7 +892,7 @@ def wavefront_mesh_fused(
         while bool(_np.asarray(cond(c))):
             c = body(c)
             if dbg >= 0:
-                _q, _st, _acc, _carry, _xs, _ys, _samp, _pix, _hitc = c
+                _q, _st, _acc, _carry, _xs, _ys, _samp, _pix, _hitc, _skc = c
                 m = _np.asarray(_pix) == dbg
                 if m.any():
                     ln = int(_np.where(m)[0][0])
@@ -743,11 +906,31 @@ def wavefront_mesh_fused(
                           f" o=({g(_carry[3]):.6f},{g(_carry[4]):.6f},{g(_carry[5]):.6f})"
                           f" L=({g(_carry[13]):.6f},{g(_carry[14]):.6f},{g(_carry[15]):.6f})",
                           flush=True)
-        q, stats, acc, *_ = c
+        q, stats, acc, carry_f, xs_f, ys_f, samp_f, pix_f, hitc_f, skc_f = c
     else:
-        q, stats, acc, *_ = jax.lax.while_loop(cond, body, init)
+        (q, stats, acc, carry_f, xs_f, ys_f, samp_f, pix_f, hitc_f,
+         skc_f) = jax.lax.while_loop(cond, body, init)
+    if strict:
+        # drain: lanes still flag == -1 when the queue emptied (their
+        # retirement never fit the width) scatter densely once
+        m = carry_f[0] < -0.5
+        Lr, Lg, Lb = carry_f[13], carry_f[14], carry_f[15]
+        md_f = Vec3(skc_f[0], skc_f[1], skc_f[2])
+        mw_f = Vec3(skc_f[3], skc_f[4], skc_f[5])
+        miss_f = m & ((md_f.x != 0.0) | (md_f.y != 0.0) | (md_f.z != 0.0))
+        if scene.has_cubemap:
+            sx, sy, sz = resolve(miss_f, md_f, mw_f)
+            Lr, Lg, Lb = Lr + sx, Lg + sy, Lb + sz
+        idx = jnp.where(m, pix_f, n_pix)
+        vals = jnp.stack(
+            [jnp.where(m, Lr, 0.0), jnp.where(m, Lg, 0.0),
+             jnp.where(m, Lb, 0.0)], axis=-1,
+        )
+        acc = acc.at[idx].add(vals)
     img = acc[:n_pix]
     if return_stats:
         return img, {"iterations": stats[0], "lane_bounces": stats[1],
-                     "pend_sum": stats[2], "pend_max": stats[3]}
+                     "pend_sum": stats[2], "pend_max": stats[3],
+                     "sel_sum": stats[4], "sel_max": stats[5],
+                     "retire_overflow": stats[6]}
     return img

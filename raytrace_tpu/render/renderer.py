@@ -225,7 +225,7 @@ _jit_wf_mesh_fused_step = jax.jit(
     static_argnames=(
         "width", "height", "pool", "has_lens", "hints", "interpret",
         "python_loop", "return_stats", "spl", "compact_lanes",
-        "shade_width", "ablate", "attr_div",
+        "shade_width", "ablate", "attr_div", "retire_width",
     ),
 )
 
@@ -251,6 +251,26 @@ def pick_shade_width(coverage: float, pool: int) -> int:
     threshold in (0.21, 0.58) fits the data; 0.30 stays.
     Unit-tested at the boundary in tests/test_texpool.py."""
     return pool if coverage > SHADE_DENSE_COVERAGE else pool // 4
+
+
+def pick_retire_width(coverage: float, pool: int) -> int:
+    """Retirement/sky compaction width for the hybrid mesh driver
+    (fused_mesh.wavefront_mesh_fused retire_width). Mesh-heavy scenes
+    retire/miss a minority of lanes per iteration (spaceship_r1:
+    sel avg ~43%, max ~60% of pool), so compacting the sky texel
+    gathers + the image scatter to 5*pool//8 rows wins; sky-dominated
+    scenes retire ~79% of the pool every iteration (biplane avg path
+    length 1.19 bounces) — nothing to compact, the rank pass is pure
+    overhead and the dense formulation (0) stays. Same coverage signal
+    and threshold as pick_shade_width (the two regimes coincide:
+    dense-shade scenes are the compactable-retirement scenes).
+    Measured round 4 (16/64 spp profile_hybrid): spaceship 36.1 ->
+    32.2 ms/iter, 1.57 -> 1.755 Mpaths/s at 5*pool//8 (width sweep
+    1/2: 1.698, 9/16: 1.669, 5/8: 1.755, 3/4: 1.681 — wider keeps
+    occupancy, narrower compacts more; 5/8 balances); biplane FORCED
+    to 5*pool//8 measured 3.98 vs 4.36 dense (sel avg 0.855, deferral
+    on 562 of 579 iterations, occupancy 94.6 -> 72.4%)."""
+    return 5 * pool // 8 if coverage > SHADE_DENSE_COVERAGE else 0
 
 
 def estimate_mesh_coverage(scene, cam, width: int, height: int) -> float:
@@ -475,6 +495,16 @@ class Renderer:
             self.mf_shade_width = int(
                 os.environ.get("RTPU_SHADE_WIDTH", str(default_cw))
             )
+            # retirement/sky compaction width (0 = dense): compact the
+            # per-iteration sky resolve + image scatter to the lanes
+            # that actually missed/retired — wins exactly the scenes
+            # where the dense shade wins (see pick_retire_width)
+            self.mf_retire_width = int(
+                os.environ.get(
+                    "RTPU_RETIRE_WIDTH",
+                    str(pick_retire_width(cov, self.mf_pool)),
+                )
+            )
             self._mxs = jnp.asarray((self._perm % self.width).astype(np.int32))
             self._mys = jnp.asarray((self._perm // self.width).astype(np.int32))
             sph_t, ft_t = tk.pack_scene_tables(self.scene)
@@ -493,6 +523,7 @@ class Renderer:
                 hints=self._mhints,
                 spl=self.mf_spl,
                 shade_width=self.mf_shade_width,
+                retire_width=self.mf_retire_width,
                 interpret=self.interpret,
             )
 
@@ -552,7 +583,7 @@ class Renderer:
                 self._multi_step, _ = make_spp_sharded_step(self._mesh1d, _fin, {})
             elif self.use_mesh_fused:
                 _pool, _spl = self.mf_pool, self.mf_spl
-                _cw = self.mf_shade_width
+                _cw, _rw = self.mf_shade_width, self.mf_retire_width
                 _hl, _hints = self.camera.lens_r is not None, self._mhints
 
                 def _min(tables, cam_vec, scene, cam, params, xs_tab, ys_tab,
@@ -561,7 +592,7 @@ class Renderer:
                         tables, cam_vec, scene, cam, params, _w, _h,
                         xs_tab, ys_tab, sample_base, n_samples,
                         pool=_pool, has_lens=_hl, hints=_hints, spl=_spl,
-                        shade_width=_cw, interpret=_interp,
+                        shade_width=_cw, retire_width=_rw, interpret=_interp,
                     )
 
                 self._multi_step, _ = make_spp_sharded_step(self._mesh1d, _min, {})

@@ -252,16 +252,20 @@ def main():
         spl = int(os.environ.get("RTPU_MESH_SPL", "1"))
         # shade mode by coverage, exactly like the production Renderer
         from raytrace_tpu.render.renderer import (
-            estimate_mesh_coverage, pick_shade_width)
+            estimate_mesh_coverage, pick_retire_width, pick_shade_width)
 
         cov = estimate_mesh_coverage(scene, camera, W, H)
         cw = int(os.environ.get(
             "RTPU_SHADE_WIDTH", str(pick_shade_width(cov, pool))))
+        rw = int(os.environ.get(
+            "RTPU_RETIRE_WIDTH", str(pick_retire_width(cov, pool))))
         print(f"coverage {cov:.2f} -> shade_width {cw} "
-              f"({'dense' if cw >= pool else 'defer'})", flush=True)
+              f"({'dense' if cw >= pool else 'defer'}) retire_width {rw}",
+              flush=True)
         step = jax.jit(partial(
             wavefront_mesh_fused, width=W, height=H, pool=pool,
             has_lens=False, hints=hints, spl=spl, shade_width=cw,
+            retire_width=rw,
         ))
         t0 = time.time()
         out = step(tables, cam_vec, scene, cam, params,
@@ -338,6 +342,7 @@ def main():
             "rng": "ctr",
             "coverage": round(locals().get("cov", -1.0), 3),
             "shade_width": locals().get("cw"),
+            "retire_width": locals().get("rw"),
             "mxu_chunks": scene.mxu_chunks,
         },
         "image_mean": [round(float(x), 6)

@@ -41,9 +41,12 @@ step = jax.jit(
     partial(
         fm.wavefront_mesh_fused, width=r.width, height=r.height,
         pool=r.mf_pool, has_lens=False, hints=r._mhints,
-        shade_width=r.mf_shade_width, return_stats=True,
+        shade_width=r.mf_shade_width, retire_width=r.mf_retire_width,
+        spl=r.mf_spl, return_stats=True,
     )
 )
+print(f"shade_width {r.mf_shade_width} retire_width {r.mf_retire_width} "
+      f"spl {r.mf_spl} pool {r.mf_pool}", flush=True)
 args = (r._mtables, r._mcam_vec, scene_dev, r.cam_arrays, r.params)
 kw = dict(xs_tab=r._mxs, ys_tab=r._mys, sample_base=jnp.int32(0),
           n_samples=jnp.int32(spp))
@@ -63,6 +66,9 @@ print(
     f"occupancy {int(stats['lane_bounces']) / (iters * r.mf_pool):.2%}, "
     f"pend avg {int(stats['pend_sum'])/max(iters,1)/r.mf_pool:.3f} "
     f"max {int(stats['pend_max'])/r.mf_pool:.3f}, "
+    f"sel avg {int(stats.get('sel_sum', 0))/max(iters,1)/r.mf_pool:.3f} "
+    f"max {int(stats.get('sel_max', 0))/r.mf_pool:.3f} "
+    f"over {int(stats.get('retire_overflow', 0))}, "
     f"{dt / iters * 1e3:.1f} ms/iter, {n_work / dt / 1e6:.3f} Mpaths/s",
     flush=True,
 )

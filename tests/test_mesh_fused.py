@@ -209,3 +209,54 @@ def test_wavefront_mesh_fused_chunked_equals_unchunked():
     assert (d > 1e-4).mean() < 1e-3, f"{(d > 1e-4).sum()} pixels diverge"
     assert d.max() < 5e-3, f"max divergence {d.max()}"
     np.testing.assert_allclose(out.mean(0), ref.mean(0), rtol=1e-4)
+
+
+def test_wavefront_mesh_fused_retire_compaction():
+    """Compacted retirement/sky (retire_width > 0): the sky resolve +
+    image scatter run at fixed compacted width over sel = missed |
+    retiring lanes, falling back dense via lax.cond when sel overflows
+    the width. Identical per-lane arithmetic to the dense formulation
+    -> same image to fusion-dependent ulps (XLA contracts the cubemap
+    uv mul+adds differently in the gathered vs dense context — same
+    1-ulp class as the attr cond branches, measured max rel 1.6e-7); a
+    small width must actually exercise BOTH the compacted branch and
+    the overflow fallback. Also covers the chunked (spl > 1) carry
+    write-back of sky-resolved radiance for in-kernel-regenerated
+    lanes."""
+    scheme, scene, camera, cam, xs, ys, params, tables, hints, cam_vec = _setup()
+    kw = dict(
+        width=W, height=H, xs_tab=xs, ys_tab=ys,
+        sample_base=jnp.int32(0), n_samples=jnp.int32(2), pool=1024,
+        has_lens=False, hints=hints, interpret=True, python_loop=True,
+        return_stats=True,
+    )
+    ref, rstats = fm.wavefront_mesh_fused(
+        tables, cam_vec, scene, cam, params, **kw
+    )
+    assert int(rstats["sel_sum"]) == 0  # dense mode: sel never counted
+    for rw in (256, 640):
+        out, stats = fm.wavefront_mesh_fused(
+            tables, cam_vec, scene, cam, params, retire_width=rw, **kw
+        )
+        assert int(stats["sel_sum"]) > 0
+        assert int(stats["sel_max"]) <= 1024
+        if rw == 256:
+            assert int(stats["retire_overflow"]) > 0, (
+                "rw=256 should overflow on primary-heavy iterations"
+            )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=1e-6, atol=1e-6
+        )
+
+    # chunked mode: missed lanes regenerate in-kernel and the sky term
+    # must ride the carry write-back until the chunk retires
+    kw2 = dict(kw, n_samples=jnp.int32(4))
+    ref2, _ = fm.wavefront_mesh_fused(
+        tables, cam_vec, scene, cam, params, spl=2, **kw2
+    )
+    out2, _ = fm.wavefront_mesh_fused(
+        tables, cam_vec, scene, cam, params, spl=2, retire_width=640, **kw2
+    )
+    np.testing.assert_allclose(
+        np.asarray(out2), np.asarray(ref2), rtol=1e-6, atol=1e-6
+    )
