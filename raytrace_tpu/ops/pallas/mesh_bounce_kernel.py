@@ -92,6 +92,11 @@ def _kernel(
     ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
     cir_ref, cig_ref, cib_ref, inten_ref,
     lr_ref, lg_ref, lb_ref, depth_ref, lim_ref,
+    # in-kernel mesh shade inputs (driver-gathered surface attributes
+    # for flag == 4 lanes; dummy (8, 128) zeros when inkernel_shade is
+    # off)
+    mnx_ref, mny_ref, mnz_ref, mrr_ref, mrg_ref, mrb_ref,
+    mmet_ref, mrgh_ref, mtt_ref,
     # scene tables
     sph_ref, ft_ref, cam_ref, bounds_ref, sbounds_ref, sgbounds_ref, tri_hbm,
     woop_ref,
@@ -109,6 +114,7 @@ def _kernel(
     sgroup: int, width: int,
     has_lens: bool, assured: int, max_bounces: int, spl: int,
     queue: bool, hints: SceneHints, mxu_chunks: int = 0,
+    inkernel_shade: bool = False,
 ):
     xs = xs_ref[...].astype(jnp.float32)
     ys = ys_ref[...].astype(jnp.float32)
@@ -177,13 +183,16 @@ def _kernel(
         # reset their path state — the driver's assign() only writes
         # flag/x/y/samp/pix/lim, keeping its XLA stage to the cumsum,
         # two table gathers and six selects
-        fresh = flag > 2.5
+        fresh = (flag > 2.5) & (flag < 3.5)
         # lanes still flag == 2 on entry are DEFERRED mesh-pend lanes
         # (the driver's fixed-width shade stage didn't reach them last
         # iteration): skip them entirely — in particular their RNG
         # state must not advance, the driver draws their 8 uniforms
-        # from the carried state at shade time
-        deferred = (flag > 1.5) & ~fresh
+        # from the carried state at shade time. flag == 4 lanes are
+        # mesh-pend lanes whose surface attributes the driver gathered
+        # THIS iteration — the in-kernel shade below completes their
+        # bounce and they trace in this same launch.
+        deferred = (flag > 1.5) & (flag < 2.5)
         stf, oxf, oyf, ozf, dxf, dyf, dzf = start_sample(samp0)
         sk = jnp.where(fresh, 0.0, sk)
         state = jnp.where(fresh, stf, state)
@@ -202,6 +211,98 @@ def _kernel(
         lb = jnp.where(fresh, 0.0, lb)
         depth = jnp.where(fresh, 0.0, depth)
         flag = jnp.where(fresh, 1.0, flag)
+
+        if inkernel_shade:
+            # ---- in-kernel mesh-pend shade (flag == 4): the 8 draws,
+            # PBR divert, RR and radiance update the XLA driver's
+            # _mesh_shade used to run full-pool-width — op-for-op
+            # mirror of render/fused_mesh._mesh_shade (spl == 1
+            # branch), with the driver's XLA stage reduced to the attr
+            # /texel gathers Mosaic cannot issue. The shaded lane
+            # becomes live (or RR-retires) BEFORE the intersection
+            # pass, so its next bounce traces in this same launch.
+            ready = flag > 3.5
+            sh_st, w0 = _next_f32(state)
+            sh_st, w1 = _next_f32(sh_st)
+            sh_st, w2 = _next_f32(sh_st)
+            sh_st, _w3 = _next_f32(sh_st)  # fresnel draw: stream parity
+            sh_st, w4 = _next_f32(sh_st)
+            sh_st, w5 = _next_f32(sh_st)
+            sh_st, w6 = _next_f32(sh_st)
+            sh_st, w7 = _next_f32(sh_st)
+            mnx, mny, mnz = mnx_ref[...], mny_ref[...], mnz_ref[...]
+            t_pend = jnp.where(ready, mtt_ref[...], 0.0)
+
+            def _vnorm(ax, ay, az, eps=0.0):
+                # ops.vec.normalize mirror (sqrt-divide, NOT _norm3's
+                # rsqrt — _mesh_shade parity is to the ulp class the
+                # driver tests tolerate)
+                n2 = ax * ax + ay * ay + az * az
+                tiny = max(eps * eps, 1e-30)
+                n = jnp.sqrt(jnp.where(n2 > tiny, n2, tiny))
+                if eps:
+                    n = jnp.maximum(n, eps)
+                inv = 1.0 / n
+                return ax * inv, ay * inv, az * inv
+
+            dn_m = dx * mnx + dy * mny + dz * mnz
+            k2 = 2.0 * dn_m
+            sdx_, sdy_, sdz_ = _vnorm(dx - mnx * k2, dy - mny * k2, dz - mnz * k2)
+            xdx_, xdy_, xdz_ = _vnorm(
+                dx - mnx * dn_m, dy - mny * dn_m, dz - mnz * dn_m, eps=1e-20
+            )
+            ydx_ = mny * xdz_ - mnz * xdy_
+            ydy_ = mnz * xdx_ - mnx * xdz_
+            ydz_ = mnx * xdy_ - mny * xdx_
+            r_s = jnp.sqrt(w1)
+            th_s = (2.0 * np.pi) * w2
+            ca_s, sa_s = r_s * jnp.cos(th_s), r_s * jnp.sin(th_s)
+            zz_s = jnp.sqrt(jnp.maximum(1.0 - w1, 0.0))
+            ddx_ = xdx_ * ca_s + ydx_ * sa_s + mnx * zz_s
+            ddy_ = xdy_ * ca_s + ydy_ * sa_s + mny * zz_s
+            ddz_ = xdz_ * ca_s + ydz_ * sa_s + mnz * zz_s
+            met = mmet_ref[...]
+            r0 = 0.04 + (1.0 - 0.04) * met
+            adn = jnp.abs(dn_m)
+            a2 = adn * adn
+            a5 = a2 * a2 * adn
+            refl = r0 + (1.0 - r0) * (1.0 - a5)
+            pbr_diff = w0 < (1.0 - refl)
+            bx = jnp.where(pbr_diff, ddx_, sdx_)
+            by = jnp.where(pbr_diff, ddy_, sdy_)
+            bz = jnp.where(pbr_diff, ddz_, sdz_)
+            rgh = mrgh_ref[...]
+            scx, scy, scz = _vnorm(w4, w5, w6, eps=1e-20)
+            ndx_m, ndy_m, ndz_m = _vnorm(
+                bx + scx * rgh, by + scy * rgh, bz + scz * rgh
+            )
+            # radiance: mesh emissive is zero (trace.wgsl:509)
+            cir_m = cir * mrr_ref[...]
+            cig_m = cig * mrg_ref[...]
+            cib_m = cib * mrb_ref[...]
+            rr_due_m = depth >= float(assured)
+            rr_kill_m = rr_due_m & (w7 > max_thres)
+            term_m = ready & rr_kill_m
+            inv_thres_m = 1.0 / max_thres
+            lr = lr + jnp.where(term_m, (cir_m * inv_thres_m) * inten, 0.0)
+            lg = lg + jnp.where(term_m, (cig_m * inv_thres_m) * inten, 0.0)
+            lb = lb + jnp.where(term_m, (cib_m * inv_thres_m) * inten, 0.0)
+            cir = jnp.where(ready, jnp.where(term_m, cir_m * inv_thres_m, cir_m), cir)
+            cig = jnp.where(ready, jnp.where(term_m, cig_m * inv_thres_m, cig_m), cig)
+            cib = jnp.where(ready, jnp.where(term_m, cib_m * inv_thres_m, cib_m), cib)
+            survive_m = ready & ~rr_kill_m
+            depth2_m = jnp.where(survive_m, depth + 1.0, depth)
+            alive_m = survive_m & (depth2_m < float(max_bounces))
+            state = jnp.where(ready, sh_st, state)
+            ox = jnp.where(ready, ox + dx * t_pend + mnx * EPS, ox)
+            oy = jnp.where(ready, oy + dy * t_pend + mny * EPS, oy)
+            oz = jnp.where(ready, oz + dz * t_pend + mnz * EPS, oz)
+            dx = jnp.where(ready, ndx_m, dx)
+            dy = jnp.where(ready, ndy_m, dy)
+            dz = jnp.where(ready, ndz_m, dz)
+            depth = jnp.where(ready, depth2_m, depth)
+            flag = jnp.where(ready, jnp.where(alive_m, 1.0, 0.0), flag)
+
         active = (flag > 0.5) & ~deferred
     else:
         active = flag > 0.5
@@ -492,6 +593,7 @@ def _kernel(
     static_argnames=(
         "n_sph", "n_ft", "n_clusters", "width", "has_lens", "assured",
         "max_bounces", "spl", "queue", "hints", "mxu_chunks", "interpret",
+        "inkernel_shade",
     ),
 )
 def bounce_tiles(
@@ -501,6 +603,7 @@ def bounce_tiles(
     has_lens: bool, assured: int, max_bounces: int, spl: int,
     queue: bool = False, hints: SceneHints = _PERMISSIVE,
     mxu_chunks: int = 0, interpret: bool = False,
+    attrs=None, inkernel_shade: bool = False,
 ):
     """One bounce for every lane. xs/ys: (R, 128) i32 pixel grids;
     samp: (R, 128) i32 base sample id; carry: 18-tuple of (R, 128)
@@ -546,8 +649,20 @@ def bounce_tiles(
         n_sg=n_clusters // GROUP // SGROUP, sgroup=SGROUP,
         width=width, has_lens=has_lens, assured=assured,
         max_bounces=max_bounces, spl=spl, queue=queue, hints=hints,
-        mxu_chunks=mxu_chunks,
+        mxu_chunks=mxu_chunks, inkernel_shade=inkernel_shade,
     )
+    if inkernel_shade:
+        assert queue and spl == 1 and attrs is not None and len(attrs) == 9
+        attr_args = [rsh(a) for a in attrs]
+        attr_specs = [lane] * 9
+    else:
+        # dummy zero blocks: every grid step maps to the same (8, wide)
+        # zeros — negligible traffic, keeps one kernel signature
+        attr_args = [jnp.zeros((SUBLANES, wide), f32)] * 9
+        attr_specs = [
+            pl.BlockSpec((SUBLANES, wide), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)
+        ] * 9
     outs = pl.pallas_call(
         kernel,
         grid=(grid,),
@@ -556,6 +671,7 @@ def bounce_tiles(
             + [lane] * 2  # flag, sk
             + [lane]  # state (u32)
             + [lane] * 15
+            + attr_specs
             + [
                 smem(sph_table.shape), smem(ft_table.shape), smem(cam_vec.shape),
                 table(bounds, bounds_space),
@@ -572,7 +688,7 @@ def bounce_tiles(
             pltpu.SemaphoreType.DMA((GROUP,)),
         ],
         interpret=interpret,
-    )(rsh(xs), rsh(ys), rsh(samp), *(rsh(a) for a in carry),
+    )(rsh(xs), rsh(ys), rsh(samp), *(rsh(a) for a in carry), *attr_args,
       sph_table, ft_table, cam_vec, bounds, sbounds, sgbounds, tri, woop)
     if factor > 1:
         outs = [o.reshape(rows, LANES) for o in outs]

@@ -393,7 +393,7 @@ def wavefront_mesh_fused(
     interpret: bool = False, python_loop: bool = False,
     return_stats: bool = False, ablate: str = "", shade_width: int = 0,
     spl: int = 1, compact_lanes: bool = False, attr_div: int = 0,
-    retire_width: int = 0,
+    retire_width: int = 0, inkernel_shade: bool = False,
 ):
     """Queue-refilled (wavefront) driver over the fused mesh bounce
     kernel — the round-2 production path for mesh scenes.
@@ -474,6 +474,13 @@ def wavefront_mesh_fused(
     # miss, so a miss is not a retirement and the banking invariant
     # "banked lane is idle" would not hold).
     strict = (0 < retire_width < pool) and spl == 1 and not ab
+    # in-kernel mesh-pend shade (round 4): the XLA stage reduces to
+    # the attr/texel gathers; draws + PBR + RR + radiance move into
+    # the kernel's flag == 4 branch and the shaded lane traces its
+    # next bounce in the SAME launch. Supported for spl == 1 queue
+    # mode only (the chunked kernel's regen block does not handle
+    # mid-chunk shade completion).
+    iks = inkernel_shade and spl == 1 and "shade" not in ab
 
     def resolve(m_t, md_t, mw_t):
         sky = sample_cubemap(
@@ -579,6 +586,36 @@ def wavefront_mesh_fused(
             xs, ys = ibc(col(22)), ibc(col(23))
             samp, pix = ibc(col(24)), ibc(col(25))
             skc = tuple(col(26 + k) for k in range(len(skc)))
+        attrs = None
+        if iks:
+            # ---- shade-prep (in-kernel shade mode): gather surface
+            # attributes for last launch's pend lanes from the carried
+            # hit records, mark them flag = 4; the kernel completes
+            # their bounce (draws + PBR + RR, _mesh_shade mirror) and
+            # traces the new ray in the same launch. In defer mode
+            # (cw < pool) only the first cw pend lanes by rank are
+            # prepped; the rest stay flag = 2 and the kernel skips
+            # them (same fixed-width backpressure as the XLA defer
+            # shade, minus its gather-back machinery).
+            flag_p = carry[0]
+            pend_p = (flag_p > 1.5) & (flag_p < 2.5)
+            if cw < pool:
+                ranks_p = jnp.cumsum(pend_p.astype(jnp.int32)) - 1
+                ready_p = pend_p & (ranks_p < cw)
+            else:
+                ready_p = pend_p
+            gid_c, tt_c, bu_c, bv_c = hitc
+            mi_p = jnp.where(
+                ready_p, jnp.clip(gid_c, 0, scene.mt_attr.shape[0] - 1), 0
+            )
+            anx, any_, anz, arr, arg, arb, amet, argh = mesh_attrs_compacted(
+                scene, ready_p, mi_p, bu_c, bv_c,
+                compact_div=(attr_div or 2),
+            )
+            attrs = (anx, any_, anz, arr, arg, arb, amet, argh,
+                     jnp.where(ready_p, tt_c, 0.0))
+            carry = list(carry)
+            carry[0] = jnp.where(ready_p, 4.0, flag_p)
         was_active = carry[0] > 0.5
         # deferred lanes (flag == 2 at launch) are skipped by the
         # kernel — don't count them as bounce work in lane_bounces
@@ -596,6 +633,8 @@ def wavefront_mesh_fused(
             has_lens=has_lens,
             assured=assured, max_bounces=max_b, spl=spl, queue=True,
             hints=hints, mxu_chunks=scene.mxu_chunks, interpret=interpret,
+            attrs=None if attrs is None else tuple(r2(a) for a in attrs),
+            inkernel_shade=iks,
         )
         carry = [fl(a) for a in carry2d]
         gid, tt, bu, bv, mdx, mdy, mdz, mwr, mwg, mwb = (fl(a) for a in outs)
@@ -651,7 +690,11 @@ def wavefront_mesh_fused(
 
         flag_pre_shade = carry[0]
         dense_shade = cw >= pool or "dense_shade" in ab
-        if "shade" in ab:
+        if iks:
+            # shade already ran in-kernel; RR kills there surfaced as
+            # term1 (flag 4 -> 0 across the launch)
+            carry = list(carry)
+        elif "shade" in ab:
             # stub the mesh-pend XLA stage: pend lanes just retire.
             # Only flag == 2 (pend) — freshly refilled lanes are flag 3
             # and must survive to trace, or occupancy collapses and the
@@ -788,7 +831,6 @@ def wavefront_mesh_fused(
                 stats[4] + cnt, jnp.maximum(stats[5], cnt),
                 stats[6] + jnp.any(defer).astype(jnp.int32),
             )
-            zf = jnp.zeros((pool,), jnp.float32)
             skc = tuple(
                 jnp.where(defer, a, 0.0)
                 for a in (md_m.x, md_m.y, md_m.z, mw_m.x, mw_m.y, mw_m.z)

@@ -642,11 +642,26 @@ def mesh_attrs_compacted(scene, is_mt, mi_all, bu, bv, compact_div: int = 4):
         id_buf = (
             jnp.zeros((K + 1,), jnp.int32).at[dest].set(lane_ids)[:K]
         )
+        # ONE (n_lanes, 3) row gather for the three compact inputs —
+        # separate element gathers do not fuse (~8 ns/element vs ~2
+        # ns/row, scripts/microbench_gather.py). mi rides as a float
+        # VALUE (ids < 2^24 are exact in f32), NOT a bitcast: int32
+        # bitcasts land in f32 denormal range and this 3-wide gather
+        # lowers through an arithmetic path on real TPU that flushes
+        # them to zero (observed: every mi read as 0 -> triangle-0
+        # attrs everywhere, image mean -15%; CPU interpret unaffected,
+        # which is why only the on-hardware smoke caught it). The wide
+        # (10+ col) bitcast matrices elsewhere gather verbatim —
+        # verified on-chip by the strict-retirement image parity.
+        ins = jnp.take(
+            jnp.stack([mi_all.astype(jnp.float32), bu, bv], axis=-1),
+            id_buf, axis=0,
+        )
         outs_c = mesh_attrs_dense(
             scene,
-            jnp.take(mi_all, id_buf),
-            jnp.take(bu, id_buf),
-            jnp.take(bv, id_buf),
+            ins[:, 0].astype(jnp.int32),
+            ins[:, 1],
+            ins[:, 2],
         )
         src = jnp.clip(ranks - 1, 0, K - 1)
         # gather the 8 results back as ONE row gather of a (K, 8)

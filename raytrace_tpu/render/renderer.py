@@ -226,6 +226,7 @@ _jit_wf_mesh_fused_step = jax.jit(
         "width", "height", "pool", "has_lens", "hints", "interpret",
         "python_loop", "return_stats", "spl", "compact_lanes",
         "shade_width", "ablate", "attr_div", "retire_width",
+        "inkernel_shade",
     ),
 )
 
@@ -505,6 +506,21 @@ class Renderer:
                     str(pick_retire_width(cov, self.mf_pool)),
                 )
             )
+            # in-kernel mesh-pend shade (round 4): the kernel completes
+            # pend bounces from driver-gathered attrs (flag 4) and the
+            # per-iteration XLA stage reduces to the gathers. Wins
+            # exactly the dense-shade scenes (spaceship 1.78 -> 1.84
+            # Mpaths/s); on defer-shade scenes the XLA defer machinery
+            # is already cheap and iks measured a small loss (biplane
+            # 4.56 -> 4.44), so it follows the shade-mode pick. spl ==
+            # 1 only; RTPU_INKERNEL_SHADE=0/1 overrides.
+            _iks_default = self.mf_shade_width >= self.mf_pool
+            self.mf_inkernel = (
+                self.mf_spl == 1
+                and os.environ.get(
+                    "RTPU_INKERNEL_SHADE", "1" if _iks_default else "0"
+                ) != "0"
+            )
             self._mxs = jnp.asarray((self._perm % self.width).astype(np.int32))
             self._mys = jnp.asarray((self._perm // self.width).astype(np.int32))
             sph_t, ft_t = tk.pack_scene_tables(self.scene)
@@ -524,6 +540,7 @@ class Renderer:
                 spl=self.mf_spl,
                 shade_width=self.mf_shade_width,
                 retire_width=self.mf_retire_width,
+                inkernel_shade=self.mf_inkernel,
                 interpret=self.interpret,
             )
 
@@ -584,6 +601,7 @@ class Renderer:
             elif self.use_mesh_fused:
                 _pool, _spl = self.mf_pool, self.mf_spl
                 _cw, _rw = self.mf_shade_width, self.mf_retire_width
+                _iks = self.mf_inkernel
                 _hl, _hints = self.camera.lens_r is not None, self._mhints
 
                 def _min(tables, cam_vec, scene, cam, params, xs_tab, ys_tab,
@@ -592,7 +610,8 @@ class Renderer:
                         tables, cam_vec, scene, cam, params, _w, _h,
                         xs_tab, ys_tab, sample_base, n_samples,
                         pool=_pool, has_lens=_hl, hints=_hints, spl=_spl,
-                        shade_width=_cw, retire_width=_rw, interpret=_interp,
+                        shade_width=_cw, retire_width=_rw,
+                        inkernel_shade=_iks, interpret=_interp,
                     )
 
                 self._multi_step, _ = make_spp_sharded_step(self._mesh1d, _min, {})

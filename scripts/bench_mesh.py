@@ -259,13 +259,15 @@ def main():
             "RTPU_SHADE_WIDTH", str(pick_shade_width(cov, pool))))
         rw = int(os.environ.get(
             "RTPU_RETIRE_WIDTH", str(pick_retire_width(cov, pool))))
+        iks = spl == 1 and os.environ.get(
+            "RTPU_INKERNEL_SHADE", "1" if cw >= pool else "0") != "0"
         print(f"coverage {cov:.2f} -> shade_width {cw} "
-              f"({'dense' if cw >= pool else 'defer'}) retire_width {rw}",
-              flush=True)
+              f"({'dense' if cw >= pool else 'defer'}) retire_width {rw} "
+              f"inkernel_shade {iks}", flush=True)
         step = jax.jit(partial(
             wavefront_mesh_fused, width=W, height=H, pool=pool,
             has_lens=False, hints=hints, spl=spl, shade_width=cw,
-            retire_width=rw,
+            retire_width=rw, inkernel_shade=iks,
         ))
         t0 = time.time()
         out = step(tables, cam_vec, scene, cam, params,
@@ -343,6 +345,7 @@ def main():
             "coverage": round(locals().get("cov", -1.0), 3),
             "shade_width": locals().get("cw"),
             "retire_width": locals().get("rw"),
+            "inkernel_shade": locals().get("iks"),
             "mxu_chunks": scene.mxu_chunks,
         },
         "image_mean": [round(float(x), 6)

@@ -73,6 +73,8 @@ def bench_scheme(name: str) -> dict:
                 "wavefront" if r.use_wavefront else "plain"),
             "pool": getattr(r, "mf_pool", None),
             "shade_mode": mode, "shade_width": getattr(r, "mf_shade_width", None),
+            "retire_width": getattr(r, "mf_retire_width", None),
+            "inkernel_shade": getattr(r, "mf_inkernel", None),
             "spl": getattr(r, "mf_spl", None),
             "mesh_coverage": round(cov, 3),
             "mxu_chunks": r.scene.mxu_chunks,

@@ -260,3 +260,34 @@ def test_wavefront_mesh_fused_retire_compaction():
     np.testing.assert_allclose(
         np.asarray(out2), np.asarray(ref2), rtol=1e-6, atol=1e-6
     )
+
+
+def test_wavefront_mesh_fused_inkernel_shade():
+    """In-kernel mesh-pend shade (flag 4): the kernel completes pend
+    bounces from driver-gathered attrs with the same 8-draw stream and
+    _mesh_shade-mirrored arithmetic, so radiance per (pixel, sample)
+    matches the XLA integrator within the same reassociation class as
+    the XLA-shade driver. Covers dense (cw = pool) and deferral
+    (cw = 128) widths, plus strict retirement on top."""
+    scheme, scene, camera, cam, xs, ys, params, tables, hints, cam_vec = _setup()
+    ref = np.asarray(
+        sample_batch(scene, cam, params, W, H, xs, ys, jnp.int32(0), jnp.int32(2))
+    )
+    kw = dict(
+        width=W, height=H, xs_tab=xs, ys_tab=ys,
+        sample_base=jnp.int32(0), n_samples=jnp.int32(2), pool=1024,
+        has_lens=False, hints=hints, interpret=True, python_loop=True,
+        inkernel_shade=True,
+    )
+    out = fm.wavefront_mesh_fused(tables, cam_vec, scene, cam, params, **kw)
+    _assert_close(np.asarray(out), ref, 2)
+    out2, dstats = fm.wavefront_mesh_fused(
+        tables, cam_vec, scene, cam, params, shade_width=128,
+        return_stats=True, **kw
+    )
+    _assert_close(np.asarray(out2), ref, 2)
+    assert int(dstats["pend_max"]) > 128, "cw=128 should defer pend lanes"
+    out3 = fm.wavefront_mesh_fused(
+        tables, cam_vec, scene, cam, params, retire_width=256, **kw
+    )
+    _assert_close(np.asarray(out3), ref, 2)
