@@ -702,8 +702,17 @@ class Renderer:
         batches (the reference's mpsc decoupling, renderer.rs:44)."""
         info = self.scheme.render_info
         total = samples if samples is not None else info.samps_per_pix
-        b = batch or info.render_batch or total
-        b = max(1, min(b, total))
+        # the scheme's render_batch (gpu_render_batch) is PREVIEW
+        # CADENCE: the reference dispatches per batch so the UI can
+        # show the accumulating image (and to dodge its GPU watchdog —
+        # our own watchdog cap below handles that independently). With
+        # no update_hook attached there is nothing to show between
+        # batches, and every extra dispatch pays the wavefront drain
+        # tail (measured: biplane 64 spp at the scheme's batch=10 runs
+        # 3.4 Mpaths/s vs 4.5 in one dispatch), so batching is only
+        # honored when a hook wants the intermediate images.
+        b = batch or (info.render_batch if update_hook is not None else total)
+        b = max(1, min(b or total, total))
         if self.scene.n_mesh_tris:
             # long single dispatches on mesh scenes can trip the TPU
             # runtime's watchdog (the reference had the same constraint
