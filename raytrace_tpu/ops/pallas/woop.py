@@ -47,10 +47,23 @@ bit-parity tests).
 """
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
+
+# RTPU_MXU_PREC=3x: manual bf16_3x dot (f32 ~ hi + lo bf16 terms;
+# R ~ Ah@Xh + Ah@Xl + Al@Xh, 3 native passes vs HIGHEST's 6) — 17.0 ->
+# 11.9 ms per 128k-ray pass on spaceship_r1, BUT ~0.5% of diverged
+# BOUNCE rays misclassify vs float64 (grazing hits: 16 effective
+# mantissa bits; 8 mask + 29 gid mismatches per 8192, rel-t outliers
+# ~1; primary rays 0/2 — scripts/microbench_mxu.py, round 4; a
+# mesh-local frame does not help, the mesh is already origin-adjacent).
+# Default stays the exact HIGHEST pass; this is an opt-in speed mode
+# whose image error class is documented, not silent.
+_PREC = os.environ.get("RTPU_MXU_PREC", "highest")
 
 EPS = 1e-4
 INF = 3.4e38
@@ -113,14 +126,27 @@ def mxu_mesh_hit(ox, oy, oz, dx, dy, dz, woop_ref,
              dx[r:r + 1, :], dy[r:r + 1, :], dz[r:r + 1, :], zero],
             axis=0)  # (8, N)
 
+        if _PREC == "3x":
+            X_hi = X.astype(jnp.bfloat16)
+            X_lo = (X - X_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
         def body(ci, carry, X=X):
             tb, gb, ub, vb = carry
             A = woop_ref[pl.ds(ci * ROWS_PER_TRI * chunk,
                                ROWS_PER_TRI * chunk), :]
-            R = jax.lax.dot_general(
-                A, X, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)  # (6*chunk, N)
+            if _PREC == "3x":
+                dot = lambda a, b: jax.lax.dot_general(
+                    a, b, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.DEFAULT)
+                A_hi = A.astype(jnp.bfloat16)
+                A_lo = (A - A_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+                R = dot(A_hi, X_hi) + dot(A_hi, X_lo) + dot(A_lo, X_hi)
+            else:
+                R = jax.lax.dot_general(
+                    A, X, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)  # (6*chunk, N)
             oU, oV, oW = (R[0:chunk], R[chunk:2 * chunk],
                           R[2 * chunk:3 * chunk])
             dU, dV, dW = (R[3 * chunk:4 * chunk], R[4 * chunk:5 * chunk],

@@ -102,13 +102,29 @@ def _mxu_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, seed_ref,
             axis=0,
         )  # (8, N)
 
+        if precision == "3x":
+            X_hi = X.astype(jnp.bfloat16)
+            X_lo = (X - X_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
         def body(ci, carry, X=X):
             tb, gb, ub, vb = carry
             A = woop_ref[pl.ds(ci * 6 * chunk, 6 * chunk), :]
-            R = jax.lax.dot_general(
-                A, X, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=precision,
-            )  # (6*chunk, N)
+            if precision == "3x":
+                # manual bf16_3x: f32 ~ hi + lo (8+8 mantissa bits);
+                # R ~ Ah@Xh + Ah@Xl + Al@Xh (drop lo*lo) — 3 native
+                # bf16 passes with f32 accumulation vs HIGHEST's 6
+                dot = lambda a, b: jax.lax.dot_general(
+                    a, b, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.DEFAULT)
+                A_hi = A.astype(jnp.bfloat16)
+                A_lo = (A - A_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+                R = dot(A_hi, X_hi) + dot(A_hi, X_lo) + dot(A_lo, X_hi)
+            else:
+                R = jax.lax.dot_general(
+                    A, X, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=precision,
+                )  # (6*chunk, N)
             oU, oV, oW = R[0:chunk], R[chunk:2 * chunk], R[2 * chunk:3 * chunk]
             dU, dV, dW = (R[3 * chunk:4 * chunk], R[4 * chunk:5 * chunk],
                           R[5 * chunk:6 * chunk])
@@ -159,6 +175,7 @@ def mxu_hit(ox, oy, oz, dx, dy, dz, seed, woop, chunk: int, n_chunks: int,
         _mxu_kernel, chunk=chunk, n_chunks=n_chunks,
         precision={"highest": jax.lax.Precision.HIGHEST,
                    "high": jax.lax.Precision.HIGH,
+                   "3x": "3x",
                    "default": jax.lax.Precision.DEFAULT}[prec],
     )
     return pl.pallas_call(
@@ -382,7 +399,16 @@ def main():
     e1 = np.asarray(sc.mt_e1[:M], np.float64)
     e2 = np.asarray(sc.mt_e2[:M], np.float64)
     chunk = int(os.environ.get("MXU_CHUNK", "64"))
-    woop, Tp = pack_woop_np(v0, e1, e2, chunk)
+    # MXU_CENTER=1: pack in a mesh-local frame (v0 - c) and shift ray
+    # origins by -c — t/u/v/gid are translation-invariant, but the
+    # o'-row cancellation that wrecks low-precision products shrinks
+    # from |o| ~ 30 units to the mesh half-extent
+    center = np.zeros(3)
+    if os.environ.get("MXU_CENTER", "0") == "1":
+        verts = np.concatenate([v0, v0 + e1, v0 + e2], 0)
+        center = (verts.min(0) + verts.max(0)) / 2.0
+        print(f"local frame: center {np.round(center, 3)}", flush=True)
+    woop, Tp = pack_woop_np(v0 - center, e1, e2, chunk)
     n_chunks = Tp // chunk
     print(f"spaceship: {M} tris, Tp={Tp}, chunk={chunk} x {n_chunks}, "
           f"woop table {woop.nbytes/1e6:.1f} MB logical "
@@ -412,14 +438,17 @@ def main():
     db /= np.linalg.norm(db, axis=1, keepdims=True)
     ob += db * 1e-3
 
-    ray_sets = {"primary": (o, d), "bounce": (ob, db)}
+    ray_sets = {"primary": (o - center, d), "bounce": (ob - center, db)}
+    # numpy reference stays in the ORIGINAL frame (translation-invariant)
+    ray_sets_ref = {"primary": (o, d), "bounce": (ob, db)}
     woop_j = jnp.asarray(woop)
     seed = jnp.full((rows8, N), INF, jnp.float32)
 
     # --- interpret-mode / numpy validation on a small slice ---
     vn = 8192
     for name, (ro, rd) in ray_sets.items():
-        ref_t, ref_i = mt_numpy(v0, e1, e2, ro[:vn], rd[:vn])
+        ro_ref = ray_sets_ref[name][0]
+        ref_t, ref_i = mt_numpy(v0, e1, e2, ro_ref[:vn], rd[:vn])
         g = lambda a: jnp.asarray(
             a[:vn].astype(np.float32).reshape(vn // N, N))
         t, gf, u, v = mxu_hit(
@@ -453,7 +482,8 @@ def main():
     n_chunksc = Tpc // cch
     woopc_j, cbounds_j = jnp.asarray(woopc), jnp.asarray(cbounds)
     for name, (ro, rd) in ray_sets.items():
-        ref_t, ref_i = mt_numpy(v0, e1, e2, ro[:vn], rd[:vn])
+        ro_ref = ray_sets_ref[name][0]
+        ref_t, ref_i = mt_numpy(v0, e1, e2, ro_ref[:vn], rd[:vn])
         g = lambda a: jnp.asarray(a[:vn].astype(np.float32).reshape(vn // N, N))
         t, gf, u, v = mxu_hit_cull(
             g(ro[:, 0]), g(ro[:, 1]), g(ro[:, 2]),
@@ -492,7 +522,8 @@ def main():
         g = lambda a: jnp.asarray(a.astype(np.float32).reshape(rows8, N))
         args = (g(ro[:, 0]), g(ro[:, 1]), g(ro[:, 2]),
                 g(rd[:, 0]), g(rd[:, 1]), g(rd[:, 2]))
-        for prec in ("highest", "high", "default"):
+        for prec in filter(None, os.environ.get(
+                "MXU_PREC_LIST", "highest,3x,default").split(",")):
             step = lambda c, *a: mxu_hit(
                 *a, c, woop_j, chunk=chunk, n_chunks=n_chunks,
                 prec=prec)[0]
