@@ -29,6 +29,8 @@ step = jax.jit(
     partial(
         fm.wavefront_mesh_fused, width=r.width, height=r.height,
         pool=r.mf_pool, has_lens=False, hints=r._mhints, return_stats=True,
+        shade_width=r.mf_shade_width, retire_width=r.mf_retire_width,
+        spl=r.mf_spl, inkernel_shade=r.mf_inkernel,
     )
 )
 lowered = step.lower(
