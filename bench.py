@@ -53,11 +53,16 @@ def main():
     r.render(samples=spd, batch=spd, progress=False)  # warmup/compile
 
     bench_spp = max(spd, (BENCH_SPP // spd) * spd)
-    t0 = time.time()
-    r.render(samples=bench_spp, batch=bench_spp, progress=False)
-    dt = time.time() - t0
-
-    paths_per_s = W * H * bench_spp / dt
+    # median-of-3 with recorded spread (round-5 VERDICT item 6: the
+    # single-shot number moved +-10% across sessions with no protocol;
+    # deltas smaller than box variance were unreadable)
+    runs = []
+    for _ in range(int(os.environ.get("BENCH_REPS", "3"))):
+        t0 = time.time()
+        r.render(samples=bench_spp, batch=bench_spp, progress=False)
+        runs.append(W * H * bench_spp / (time.time() - t0))
+    runs.sort()
+    paths_per_s = runs[len(runs) // 2]
     print(
         json.dumps(
             {
@@ -71,6 +76,9 @@ def main():
                 # within one mode
                 "rng": "hw" if hw else "ctr",
                 "spp": bench_spp,
+                "reps": len(runs),
+                "spread_mpaths": [round(runs[0] / 1e6, 1),
+                                  round(runs[-1] / 1e6, 1)],
             }
         )
     )
