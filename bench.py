@@ -79,9 +79,23 @@ def main():
                 "reps": len(runs),
                 "spread_mpaths": [round(runs[0] / 1e6, 1),
                                   round(runs[-1] / 1e6, 1)],
+                # on-hardware parity gate summary (scripts/hw_parity.py,
+                # run each round; "absent" = gate not run this round)
+                "hw_parity": _parity_summary(),
             }
         )
     )
+
+
+def _parity_summary():
+    art = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "HW_PARITY_r05.json")
+    try:
+        with open(art) as f:
+            p = json.load(f)
+        return f"{'pass' if p['pass'] else 'FAIL'} ({p['n_pass']}/{p['n_total']})"
+    except Exception:
+        return "absent"
 
 
 if __name__ == "__main__":

@@ -100,10 +100,19 @@ class SceneArrays:
     mk_sbounds: Any  # (Cp/GROUP, 8) f32 supercluster AABBs
     mk_sgbounds: Any  # (Cp/GROUP/SGROUP, 8) f32 supergroup AABBs (level 3)
     mk_tri: Any  # (Cp, W/8, 128) f32
-    # --- MXU Woop table (small meshes, ops/pallas/woop.py): the whole
-    # mesh nearest-hit as brute-force matmuls; (8, 8) zeros when the
-    # scene exceeds the VMEM gate (mxu_chunks == 0) ---
-    mk_woop: Any  # (mxu_chunks*6*CHUNK, 8) f32
+    # --- MXU Woop table (ops/pallas/woop.py): the whole mesh
+    # nearest-hit as brute-force matmuls, DMA-streamed from HBM;
+    # (8, 8) zeros when the scene gate is off (mxu_chunks == 0) ---
+    mk_woop: Any  # (mxu_chunks*7*CHUNK, 8) f32
+    # --- two-level instancing (round 5): when the mesh is n_inst >= 4
+    # copies of ONE glTF asset, the mk_* kernel tables above are
+    # ASSET-LOCAL and the kernel walks them once per instance with the
+    # ray transformed into the instance frame. Rows: [A row-major (9) |
+    # T (3) | world AABB lo (3) hi (3) | pad (6)], A = (1/s) R^T ---
+    mk_inst: Any  # (max(n_inst, 1), 24) f32
+    # --- (Mp, 12) [v0 | e1 | e2 | pad] rows for the driver's exact-MT
+    # re-test of fast2 MXU candidates (one row gather per candidate) ---
+    mt_tri12: Any
     # --- cubemap ---
     cm_offsets: Any  # (6,) i32
     cm_dims: Any  # (6, 2) i32 (w, h)
@@ -128,6 +137,15 @@ class SceneArrays:
     n_clusters: int = flax.struct.field(pytree_node=False, default=0)
     # number of Woop chunks in mk_woop; 0 disables the MXU mesh pass
     mxu_chunks: int = flax.struct.field(pytree_node=False, default=0)
+    # fast2 tolerance scale: max vertex norm (ops/pallas/woop.py tau)
+    mxu_rs: float = flax.struct.field(pytree_node=False, default=1.0)
+    # instancing statics: instance count (0 = flattened tables) and
+    # triangles per asset (the kernel's gid base stride)
+    n_inst: int = flax.struct.field(pytree_node=False, default=0)
+    inst_tris: int = flax.struct.field(pytree_node=False, default=0)
+    # cluster width of the mk_* kernel tables (== cl_idx width for
+    # flattened scenes; the local-asset width when instanced)
+    mk_width: int = flax.struct.field(pytree_node=False, default=8)
 
 
 def _pad_to(n: int, mult: int) -> int:
@@ -339,6 +357,88 @@ def _mesh_triangle_arrays(meshes: list, pool: _TexPool):
     return {k: np.concatenate(vs, axis=0) for k, vs in cols.items()}
 
 
+def _try_build_instancing(model_members, mt, M, kw, scheme):
+    """Detect an instanced scene (>= 4 Model members sharing one glTF
+    path, together owning ALL mesh triangles in member order) and
+    build asset-local kernel tables + the (I, 24) instance table.
+    Returns a kw-update dict or None. RTPU_INSTANCING=0 disables."""
+    import os as _os
+
+    if _os.environ.get("RTPU_INSTANCING", "1") == "0":
+        return None
+    if len(model_members) < 4:
+        return None
+    paths = {p for p, _ in model_members}
+    if len(paths) != 1:
+        return None
+    I = len(model_members)
+    if M % I:
+        return None
+    Ml = M // I
+    from .camera import euler_matrix
+
+    v0 = mt["v0"].astype(np.float64)
+    v1 = mt["v1"].astype(np.float64)
+    v2 = mt["v2"].astype(np.float64)
+
+    # inverse transforms A_i = (1/s) R^T, T_i (load_model: p_w = s R p + T)
+    As, Ts = [], []
+    for _, m in model_members:
+        r, p_, y = [float(v) for v in m.euler_angles]
+        R = euler_matrix(r, p_, y)
+        s_ = float(m.uniform_scale)
+        As.append(R.T / s_)
+        Ts.append(np.asarray(m.translation, np.float64))
+
+    # local geometry from instance 0; verify every instance is the
+    # same asset geometry to ~1e-3 of the asset scale
+    lv0 = (v0[:Ml] - Ts[0]) @ As[0].T
+    lv1 = (v1[:Ml] - Ts[0]) @ As[0].T
+    lv2 = (v2[:Ml] - Ts[0]) @ As[0].T
+    scale = max(np.abs(lv0).max(), 1e-6)
+    probe = np.linspace(0, Ml - 1, num=min(64, Ml), dtype=np.int64)
+    for i in range(1, I):
+        lo = (v0[i * Ml + probe] - Ts[i]) @ As[i].T
+        if np.abs(lo - lv0[probe]).max() > 1e-3 * scale:
+            return None
+
+    from ..accel.builder import build_clusters_bvh
+    from ..ops.pallas.mesh_hit_kernel import pack_mesh_tables_np
+
+    l0 = lv0.astype(np.float32)
+    e1 = (lv1 - lv0).astype(np.float32)
+    e2 = (lv2 - lv0).astype(np.float32)
+    lo3 = np.minimum(np.minimum(l0, l0 + e1), l0 + e2)
+    hi3 = np.maximum(np.maximum(l0, l0 + e1), l0 + e2)
+    cp, cl_lo, cl_hi = build_clusters_bvh(lo3, hi3, leaf_target=64)
+    safe = np.maximum(cp, 0)
+    cam_l = (np.asarray(scheme.cam.o, np.float64) - Ts[0]) @ As[0].T
+    mkb, mks, mksg, mkt = pack_mesh_tables_np(
+        cp.astype(np.int32), cl_lo, cl_hi,
+        l0[safe], e1[safe], e2[safe],
+        cam_o=cam_l.astype(np.float32),
+    )
+
+    inst = np.zeros((I, 24), np.float32)
+    for i in range(I):
+        inst[i, 0:9] = As[i].reshape(9)
+        inst[i, 9:12] = Ts[i]
+        w0 = v0[i * Ml:(i + 1) * Ml]
+        w1 = v1[i * Ml:(i + 1) * Ml]
+        w2 = v2[i * Ml:(i + 1) * Ml]
+        inst[i, 12:15] = np.minimum(np.minimum(w0, w1), w2).min(axis=0)
+        inst[i, 15:18] = np.maximum(np.maximum(w0, w1), w2).max(axis=0)
+
+    return dict(
+        mk_bounds=mkb, mk_sbounds=mks, mk_sgbounds=mksg, mk_tri=mkt,
+        mk_inst=inst, n_inst=I, inst_tris=Ml,
+        mk_width=int(cp.shape[1]),
+        # the brute MXU pass and instancing are mutually exclusive
+        # (the walk handles the per-instance transform)
+        mk_woop=np.zeros((8, 128), np.float32), mxu_chunks=0,
+    )
+
+
 def build_scene(scheme: Scheme, pad_mult: int = 2048, pad_small: int = 8) -> SceneArrays:
     """Members -> SceneArrays (the extract_concrete_types analogue,
     builder/inner.rs:68-110). pad_mult sizes the mesh-triangle arrays
@@ -348,6 +448,7 @@ def build_scene(scheme: Scheme, pad_mult: int = 2048, pad_small: int = 8) -> Sce
     spheres: list = []
     free_tris: list = []
     meshes: list = []
+    model_members: list = []
     cubemap: Optional[CubeMapMember] = None
 
     for m in scheme.scene_members:
@@ -359,6 +460,7 @@ def build_scene(scheme: Scheme, pad_mult: int = 2048, pad_small: int = 8) -> Sce
             cubemap = m  # reference keeps a vec but only ever has one
         elif isinstance(m, ModelMember):
             path = resolve_asset_path(m.path, scheme.scheme_dir)
+            model_members.append((path, m))
             meshes.extend(
                 gltf_mod.load_model(path, m.translation, m.uniform_scale, m.euler_angles)
             )
@@ -429,6 +531,7 @@ def build_scene(scheme: Scheme, pad_mult: int = 2048, pad_small: int = 8) -> Sce
     Mp = _pad_to(M, pad_mult)
 
     kw = dict(
+        mk_inst=np.zeros((1, 24), np.float32),
         sph_c=_pad(sph_c.astype(np.float32), Sp),
         sph_r=_pad(sph_r, Sp),
         sph_rgb=_pad(sph_rgb.astype(np.float32), Sp),
@@ -486,23 +589,37 @@ def build_scene(scheme: Scheme, pad_mult: int = 2048, pad_small: int = 8) -> Sce
             kw["cl_idx"], cl_lo, cl_hi, kw["cl_v0"], kw["cl_e1"], kw["cl_e2"],
             cam_o=np.asarray(scheme.cam.o, np.float32),
         )
-        kw.update(mk_bounds=mkb, mk_sbounds=mks, mk_sgbounds=mksg, mk_tri=mkt)
+        kw.update(mk_bounds=mkb, mk_sbounds=mks, mk_sgbounds=mksg, mk_tri=mkt,
+                  mk_width=int(kw["cl_idx"].shape[1]))
+
+        # --- two-level instancing (round 5): N >= 4 Model members of
+        # the SAME glTF asset -> rebuild the KERNEL tables asset-local
+        # (1/N the size) + an instance table; the kernel walks them per
+        # instance in the instance frame (mesh_bounce_kernel). The
+        # integrator/shading tables above stay flattened (they are the
+        # oracle path and are indexed by the kernel's global gids).
+        _inst = _try_build_instancing(model_members, mt, M, kw, scheme)
+        if _inst is not None:
+            kw.update(_inst)
 
         # MXU Woop table for small meshes (spaceship_r1 class): the
         # fused kernel's brute-force matmul nearest-hit — 2.5x the
         # cluster walk per pass and occupancy-independent
-        # (ops/pallas/woop.py). RTPU_MXU=0 forces the cluster path.
+        # (ops/pallas/woop.py). RTPU_MXU=0 forces the cluster path;
+        # RTPU_MXU_MAX_TRIS overrides the scene-size gate (the table
+        # streams from HBM, so the gate is a policy choice, not VMEM).
         from ..ops.pallas.woop import MAX_TRIS as _WOOP_MAX, pack_woop_table_np
 
         import os as _os
 
-        if M <= _WOOP_MAX and _os.environ.get("RTPU_MXU", "1") != "0":
-            woop_tab, n_wchunks = pack_woop_table_np(
+        _gate = int(_os.environ.get("RTPU_MXU_MAX_TRIS", str(_WOOP_MAX)))
+        if M <= _gate and _os.environ.get("RTPU_MXU", "1") != "0":
+            woop_tab, n_wchunks, w_rs = pack_woop_table_np(
                 v0, v1 - v0, v2 - v0
             )
-            kw.update(mk_woop=woop_tab, mxu_chunks=n_wchunks)
+            kw.update(mk_woop=woop_tab, mxu_chunks=n_wchunks, mxu_rs=w_rs)
         else:
-            kw.update(mk_woop=np.zeros((8, 8), np.float32), mxu_chunks=0)
+            kw.update(mk_woop=np.zeros((8, 128), np.float32), mxu_chunks=0)
 
         has_rgb = bool((mt["rgb_tex"][:, 1] > 0).any())
         has_norm = bool((mt["norm_tex"][:, 1] > 0).any())
@@ -534,10 +651,25 @@ def build_scene(scheme: Scheme, pad_mult: int = 2048, pad_small: int = 8) -> Sce
             mt_attr=_pad(attr, Mp),
             mt_desc=_pad(desc, Mp),
         )
+        _v0p = _pad(mt["v0"].astype(np.float32), Mp)
+        _e1p = _pad((mt["v1"] - mt["v0"]).astype(np.float32), Mp)
+        _e2p = _pad((mt["v2"] - mt["v0"]).astype(np.float32), Mp)
+        # col 9: the triangle's position in the flattened cl_idx
+        # (cluster scan) order — the EXACT-t tie-break both the XLA
+        # integrator and the cluster kernel resolve by scan order
+        # (coplanar edge neighbors tie bitwise); the fast2 refine
+        # must break ties the same way (render/fused_mesh._refine_pend)
+        _flat_cl = np.asarray(kw["cl_idx"]).reshape(-1)
+        _pos = np.zeros((Mp,), np.float32)
+        _valid_cl = _flat_cl >= 0
+        _pos[_flat_cl[_valid_cl]] = np.nonzero(_valid_cl)[0].astype(np.float32)
+        _aux = np.zeros((Mp, 3), np.float32)
+        _aux[:, 0] = _pos
         kw.update(
-            mt_v0=_pad(mt["v0"].astype(np.float32), Mp),
-            mt_e1=_pad((mt["v1"] - mt["v0"]).astype(np.float32), Mp),
-            mt_e2=_pad((mt["v2"] - mt["v0"]).astype(np.float32), Mp),
+            mt_v0=_v0p,
+            mt_e1=_e1p,
+            mt_e2=_e2p,
+            mt_tri12=np.concatenate([_v0p, _e1p, _e2p, _aux], axis=1),
             mt_const_norm=_pad(mt["const_norm"].astype(np.float32), Mp),
             mt_nrm_mat=_pad(mt["nrm_mat"], Mp),
             mt_norm_scale=_pad(mt["norm_scale"], Mp),
@@ -568,7 +700,8 @@ def build_scene(scheme: Scheme, pad_mult: int = 2048, pad_small: int = 8) -> Sce
             mk_sbounds=np.zeros((0, 8), np.float32),
             mk_sgbounds=np.zeros((0, 8), np.float32),
             mk_tri=np.zeros((0, 1, 128), np.float32),
-            mk_woop=np.zeros((8, 8), np.float32),
+            mk_woop=np.zeros((8, 128), np.float32),
+            mt_tri12=np.zeros((0, 12), np.float32),
             mt_v0=z3, mt_e1=z3, mt_e2=z3, mt_const_norm=z3,
             mt_nrm_mat=np.zeros((0, 3, 3), np.float32),
             mt_norm_scale=np.zeros((0,), np.float32),

@@ -80,6 +80,8 @@ from .trace_kernel import (
     uniform_bsdf,
 )
 
+from .woop import CHUNK as _W_CHUNK, ROWS_PER_TRI as _W_ROWS
+
 _U32 = jnp.uint32
 TRI_COLS = 16  # mesh triangle record (see mesh_hit_kernel)
 
@@ -99,21 +101,23 @@ def _kernel(
     mmet_ref, mrgh_ref, mtt_ref,
     # scene tables
     sph_ref, ft_ref, cam_ref, bounds_ref, sbounds_ref, sgbounds_ref, tri_hbm,
-    woop_ref,
+    woop_ref, inst_ref,
     # carry out (18)
     flag_o, sk_o, state_o,
     ox_o, oy_o, oz_o, dx_o, dy_o, dz_o,
     cir_o, cig_o, cib_o, inten_o,
     lr_o, lg_o, lb_o, depth_o, lim_o,
     # per-iteration outputs
-    gid_o, tt_o, bu_o, bv_o,
+    gid_o, tt_o, bu_o, bv_o, g4_o, g5_o, g6_o,
     mdx_o, mdy_o, mdz_o, mwr_o, mwg_o, mwb_o,
-    # scratch
-    tri_vmem, dma_sem,
-    *, n_sph: int, n_ft: int, n_super: int, group: int, n_sg: int,
+    # scratch (wbuf0/wbuf1/wsem only allocated when mxu_chunks > 0)
+    tri_vmem, dma_sem, *mxu_scratch,
+    n_sph: int, n_ft: int, n_super: int, group: int, n_sg: int,
     sgroup: int, width: int,
     has_lens: bool, assured: int, max_bounces: int, spl: int,
     queue: bool, hints: SceneHints, mxu_chunks: int = 0,
+    mxu_prec: str = "exact", mxu_rs: float = 1.0,
+    n_inst: int = 0, inst_tris: int = 0,
     inkernel_shade: bool = False,
 ):
     xs = xs_ref[...].astype(jnp.float32)
@@ -308,6 +312,18 @@ def _kernel(
         active = flag > 0.5
     zero = jnp.zeros_like(dx)
 
+    fast2 = bool(mxu_chunks) and mxu_prec == "fast2"
+    if fast2:
+        # one-launch "no mesh" marker (fast2 candidate-refine): the
+        # driver re-submits a pend lane whose candidates all failed
+        # the exact re-test with sk = 1 — this launch must not
+        # re-classify it as pending (its sphere/free-tri/miss shade
+        # happens in-kernel below). sk is free in this mode (queue
+        # spl == 1 never regenerates in-kernel).
+        assert queue and spl == 1, (queue, spl)
+        nomesh = sk > 0.5
+        sk = jnp.where(nomesh, 0.0, sk)
+
     # ---- sphere + free-triangle closest hit (shared unrolled pass) --
     s_ = closest_sph_ft(
         sph_ref, ft_ref, ox, oy, oz, dx, dy, dz,
@@ -322,130 +338,194 @@ def _kernel(
     gid_o[...] = jnp.full_like(gid_o[...], -1)
     bu_o[...] = jnp.zeros_like(bu_o[...])
     bv_o[...] = jnp.zeros_like(bv_o[...])
+    g4_o[...] = jnp.full_like(g4_o[...], -1.0)
+    g5_o[...] = jnp.full_like(g5_o[...], -1.0)
+    g6_o[...] = jnp.full_like(g6_o[...], -1.0)
 
     if mxu_chunks:
-        # ---- mesh closest hit, MXU formulation (small meshes): the
-        # whole O(rays x tris) test as brute-force Woop matmuls — see
-        # ops/pallas/woop.py for rationale and microbench numbers ----
+        # ---- mesh closest hit, MXU formulation: the whole
+        # O(rays x tris) test as brute-force Woop matmuls, table
+        # DMA-streamed from HBM — see ops/pallas/woop.py ----
         from .woop import mxu_mesh_hit
 
-        mxu_mesh_hit(ox, oy, oz, dx, dy, dz, woop_ref,
-                     tt_o, gid_o, bu_o, bv_o, n_chunks=mxu_chunks)
+        wbuf0, wbuf1, wsem = mxu_scratch
+        mxu_mesh_hit(ox, oy, oz, dx, dy, dz, woop_ref, wbuf0, wbuf1, wsem,
+                     tt_o, gid_o, bu_o, bv_o, g4_o, g5_o, g6_o,
+                     n_chunks=mxu_chunks,
+                     prec=("fast2" if fast2 else "exact"), rs=mxu_rs,
+                     nomesh=nomesh if fast2 else None)
 
     # ---- mesh closest hit: supercluster DMA streaming (see
-    # mesh_hit_kernel for the layout rationale) ----
+    # mesh_hit_kernel for the layout rationale). The whole walk is
+    # parameterized over the RAYS and a gid offset so the two-level
+    # instanced path (round 5) can run it per instance in the
+    # instance-local frame against SHARED asset tables. ----
     def clamp(d):
         return jnp.where(jnp.abs(d) < EPS, jnp.where(d < 0.0, -EPS, EPS), d)
 
-    fx = 1.0 / clamp(dx)
-    fy = 1.0 / clamp(dy)
-    fz = 1.0 / clamp(dz)
+    def mesh_walk(ox, oy, oz, dx, dy, dz, gid_base):
+        fx = 1.0 / clamp(dx)
+        fy = 1.0 / clamp(dy)
+        fz = 1.0 / clamp(dz)
 
-    def slab_reach(ref, ci):
-        b = lambda j: ref[ci, j]
-        t0x = (b(0) - ox) * fx
-        t1x = (b(3) - ox) * fx
-        t0y = (b(1) - oy) * fy
-        t1y = (b(4) - oy) * fy
-        t0z = (b(2) - oz) * fz
-        t1z = (b(5) - oz) * fz
-        entry = jnp.maximum(
-            jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
-            jnp.minimum(t0z, t1z),
-        )
-        exit_ = jnp.minimum(
-            jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
-            jnp.maximum(t0z, t1z),
-        )
-        return (entry <= exit_) & (exit_ >= 0.0) & (entry < tt_o[...])
+        def slab_reach(ref, ci):
+            b = lambda j: ref[ci, j]
+            t0x = (b(0) - ox) * fx
+            t1x = (b(3) - ox) * fx
+            t0y = (b(1) - oy) * fy
+            t1y = (b(4) - oy) * fy
+            t0z = (b(2) - oz) * fz
+            t1z = (b(5) - oz) * fz
+            entry = jnp.maximum(
+                jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+                jnp.minimum(t0z, t1z),
+            )
+            exit_ = jnp.minimum(
+                jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+                jnp.maximum(t0z, t1z),
+            )
+            return (entry <= exit_) & (exit_ >= 0.0) & (entry < tt_o[...])
 
-    rows_per_cluster = width // 8
+        rows_per_cluster = width // 8
 
-    def super_body(sI, _):
-        @pl.when(jnp.any(slab_reach(sbounds_ref, sI)))
-        def _():
-            # Per-cluster DMA of REACHED clusters only (round 3): the
-            # earlier whole-group copy paid GROUP*W triangles for every
-            # reached supercluster — at a380 scale, miss-bound lanes
-            # (t_best = INF prunes nothing) reach most superclusters
-            # and the copy bytes dominated the launch. All reached
-            # clusters' copies start back-to-back on per-cluster
-            # semaphores before the first wait, so the ~µs DMA latency
-            # overlaps across clusters and with the tri math.
-            reaches = [
-                jnp.any(slab_reach(bounds_ref, sI * group + cl))
-                for cl in range(group)
-            ]
-
-            def cl_copy(cl):
-                return pltpu.make_async_copy(
-                    tri_hbm.at[sI, pl.ds(cl * rows_per_cluster, rows_per_cluster)],
-                    tri_vmem.at[pl.ds(cl * rows_per_cluster, rows_per_cluster)],
-                    dma_sem.at[cl],
-                )
-
-            for cl in range(group):  # static unroll
-                @pl.when(reaches[cl])
-                def _(cl=cl):
-                    cl_copy(cl).start()
-
-            for cl in range(group):  # static unroll
-                def row_body(w8, _, base=cl * rows_per_cluster):
-                    for k in range(8):  # static: lane index stays static
-                        tr = lambda j: tri_vmem[base + w8, k * TRI_COLS + j]
-                        e1x, e1y, e1z = tr(3), tr(4), tr(5)
-                        e2x, e2y, e2z = tr(6), tr(7), tr(8)
-                        pvx = dy * e2z - dz * e2y
-                        pvy = dz * e2x - dx * e2z
-                        pvz = dx * e2y - dy * e2x
-                        det = e1x * pvx + e1y * pvy + e1z * pvz
-                        ok = jnp.abs(det) >= EPS
-                        inv_det = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
-                        hx, hy, hz = ox - tr(0), oy - tr(1), oz - tr(2)
-                        u = inv_det * (hx * pvx + hy * pvy + hz * pvz)
-                        qx = hy * e1z - hz * e1y
-                        qy = hz * e1x - hx * e1z
-                        qz = hx * e1y - hy * e1x
-                        w_ = inv_det * (dx * qx + dy * qy + dz * qz)
-                        t_i = inv_det * (e2x * qx + e2y * qy + e2z * qz)
-                        gid_f = tr(9)
-                        ok2 = ok & (u >= 0.0) & (u <= 1.0) & (w_ >= 0.0) & (u + w_ <= 1.0)
-                        ok2 = ok2 & (t_i >= EPS) & (gid_f >= 0.0)
-                        better = ok2 & (jnp.where(ok2, t_i, INF) < tt_o[...])
-                        tt_o[...] = jnp.where(better, t_i, tt_o[...])
-                        gid_o[...] = jnp.where(
-                            better,
-                            jnp.full_like(gid_o[...], gid_f.astype(jnp.int32)),
-                            gid_o[...],
-                        )
-                        bu_o[...] = jnp.where(better, u, bu_o[...])
-                        bv_o[...] = jnp.where(better, w_, bv_o[...])
-                    return 0
-
-                @pl.when(reaches[cl])
-                def _(row_body=row_body, cl=cl):
-                    cl_copy(cl).wait()
-                    jax.lax.fori_loop(0, rows_per_cluster, row_body, 0)
-
-        return 0
-
-    # level-3 cull: one supergroup slab test retires SGROUP supers
-    # (their always-paid per-block tests dominated at a380-scale
-    # supercluster counts). Single-supergroup scenes skip the wrapper.
-    # MXU mode already resolved the mesh hit above — skip the walk
-    # (the defs above trace nothing unless called).
-    if mxu_chunks:
-        pass
-    elif n_sg > 1:
-        def sg_body(g, _):
-            @pl.when(jnp.any(slab_reach(sgbounds_ref, g)))
+        def super_body(sI, _):
+            @pl.when(jnp.any(slab_reach(sbounds_ref, sI)))
             def _():
-                jax.lax.fori_loop(g * sgroup, (g + 1) * sgroup, super_body, 0)
+                # Per-cluster DMA of REACHED clusters only (round 3): the
+                # earlier whole-group copy paid GROUP*W triangles for every
+                # reached supercluster — at a380 scale, miss-bound lanes
+                # (t_best = INF prunes nothing) reach most superclusters
+                # and the copy bytes dominated the launch. All reached
+                # clusters' copies start back-to-back on per-cluster
+                # semaphores before the first wait, so the ~µs DMA latency
+                # overlaps across clusters and with the tri math.
+                reaches = [
+                    jnp.any(slab_reach(bounds_ref, sI * group + cl))
+                    for cl in range(group)
+                ]
+
+                def cl_copy(cl):
+                    return pltpu.make_async_copy(
+                        tri_hbm.at[sI, pl.ds(cl * rows_per_cluster, rows_per_cluster)],
+                        tri_vmem.at[pl.ds(cl * rows_per_cluster, rows_per_cluster)],
+                        dma_sem.at[cl],
+                    )
+
+                for cl in range(group):  # static unroll
+                    @pl.when(reaches[cl])
+                    def _(cl=cl):
+                        cl_copy(cl).start()
+
+                for cl in range(group):  # static unroll
+                    def row_body(w8, _, base=cl * rows_per_cluster):
+                        for k in range(8):  # static: lane index stays static
+                            tr = lambda j: tri_vmem[base + w8, k * TRI_COLS + j]
+                            e1x, e1y, e1z = tr(3), tr(4), tr(5)
+                            e2x, e2y, e2z = tr(6), tr(7), tr(8)
+                            pvx = dy * e2z - dz * e2y
+                            pvy = dz * e2x - dx * e2z
+                            pvz = dx * e2y - dy * e2x
+                            det = e1x * pvx + e1y * pvy + e1z * pvz
+                            ok = jnp.abs(det) >= EPS
+                            inv_det = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
+                            hx, hy, hz = ox - tr(0), oy - tr(1), oz - tr(2)
+                            u = inv_det * (hx * pvx + hy * pvy + hz * pvz)
+                            qx = hy * e1z - hz * e1y
+                            qy = hz * e1x - hx * e1z
+                            qz = hx * e1y - hy * e1x
+                            w_ = inv_det * (dx * qx + dy * qy + dz * qz)
+                            t_i = inv_det * (e2x * qx + e2y * qy + e2z * qz)
+                            gid_f = tr(9)
+                            ok2 = ok & (u >= 0.0) & (u <= 1.0) & (w_ >= 0.0) & (u + w_ <= 1.0)
+                            ok2 = ok2 & (t_i >= EPS) & (gid_f >= 0.0)
+                            better = ok2 & (jnp.where(ok2, t_i, INF) < tt_o[...])
+                            tt_o[...] = jnp.where(better, t_i, tt_o[...])
+                            gid_o[...] = jnp.where(
+                                better,
+                                jnp.full_like(
+                                    gid_o[...],
+                                    (gid_f + gid_base).astype(jnp.int32),
+                                ),
+                                gid_o[...],
+                            )
+                            bu_o[...] = jnp.where(better, u, bu_o[...])
+                            bv_o[...] = jnp.where(better, w_, bv_o[...])
+                        return 0
+
+                    @pl.when(reaches[cl])
+                    def _(row_body=row_body, cl=cl):
+                        cl_copy(cl).wait()
+                        jax.lax.fori_loop(0, rows_per_cluster, row_body, 0)
+
             return 0
 
-        jax.lax.fori_loop(0, n_sg, sg_body, 0)
+        # level-3 cull: one supergroup slab test retires SGROUP supers
+        # (their always-paid per-block tests dominated at a380-scale
+        # supercluster counts). Single-supergroup scenes skip the wrapper.
+        if n_sg > 1:
+            def sg_body(g, _):
+                @pl.when(jnp.any(slab_reach(sgbounds_ref, g)))
+                def _():
+                    jax.lax.fori_loop(g * sgroup, (g + 1) * sgroup, super_body, 0)
+                return 0
+
+            jax.lax.fori_loop(0, n_sg, sg_body, 0)
+        else:
+            jax.lax.fori_loop(0, n_super, super_body, 0)
+
+    # MXU mode already resolved the mesh hit above — skip the walk
+    # (mesh_walk traces nothing unless called)
+    if mxu_chunks:
+        pass
+    elif n_inst:
+        # two-level instancing (round 5): the scene is n_inst copies of
+        # ONE asset; the tables above are ASSET-LOCAL. Per instance: a
+        # world-space root-AABB gate for the block, then the walk runs
+        # with the rays transformed into the instance frame (o' =
+        # A(o - T), d' = A d, A = (1/s) R^T from inst_ref rows — d'
+        # left unnormalized, so the local Moller-Trumbore t IS the
+        # world t) and gids offset by the instance's base row in the
+        # flattened attribute tables.
+        wfx = 1.0 / clamp(dx)
+        wfy = 1.0 / clamp(dy)
+        wfz = 1.0 / clamp(dz)
+
+        def inst_body(ii, _):
+            g = lambda j: inst_ref[ii, j]
+            t0x = (g(12) - ox) * wfx
+            t1x = (g(15) - ox) * wfx
+            t0y = (g(13) - oy) * wfy
+            t1y = (g(16) - oy) * wfy
+            t0z = (g(14) - oz) * wfz
+            t1z = (g(17) - oz) * wfz
+            entry = jnp.maximum(
+                jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+                jnp.minimum(t0z, t1z),
+            )
+            exit_ = jnp.minimum(
+                jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+                jnp.maximum(t0z, t1z),
+            )
+            reach = (entry <= exit_) & (exit_ >= 0.0) & (entry < tt_o[...])
+
+            @pl.when(jnp.any(reach))
+            def _():
+                rx_, ry_, rz_ = ox - g(9), oy - g(10), oz - g(11)
+                oxl = g(0) * rx_ + g(1) * ry_ + g(2) * rz_
+                oyl = g(3) * rx_ + g(4) * ry_ + g(5) * rz_
+                ozl = g(6) * rx_ + g(7) * ry_ + g(8) * rz_
+                dxl = g(0) * dx + g(1) * dy + g(2) * dz
+                dyl = g(3) * dx + g(4) * dy + g(5) * dz
+                dzl = g(6) * dx + g(7) * dy + g(8) * dz
+                mesh_walk(oxl, oyl, ozl, dxl, dyl, dzl,
+                          (ii * inst_tris).astype(jnp.float32))
+
+            return 0
+
+        jax.lax.fori_loop(0, n_inst, inst_body, 0)
     else:
-        jax.lax.fori_loop(0, n_super, super_body, 0)
+        mesh_walk(ox, oy, oz, dx, dy, dz, 0.0)
+
 
     # ---- classification ----
     mesh_pend = active & (gid_o[...] >= 0)
@@ -592,17 +672,19 @@ def _kernel(
     jax.jit,
     static_argnames=(
         "n_sph", "n_ft", "n_clusters", "width", "has_lens", "assured",
-        "max_bounces", "spl", "queue", "hints", "mxu_chunks", "interpret",
-        "inkernel_shade",
+        "max_bounces", "spl", "queue", "hints", "mxu_chunks", "mxu_prec",
+        "mxu_rs", "n_inst", "inst_tris", "interpret", "inkernel_shade",
     ),
 )
 def bounce_tiles(
     xs, ys, samp, carry, sph_table, ft_table, cam_vec, bounds, sbounds,
-    sgbounds, tri, woop,
+    sgbounds, tri, woop, inst,
     n_sph: int, n_ft: int, n_clusters: int, width: int,
     has_lens: bool, assured: int, max_bounces: int, spl: int,
     queue: bool = False, hints: SceneHints = _PERMISSIVE,
-    mxu_chunks: int = 0, interpret: bool = False,
+    mxu_chunks: int = 0, mxu_prec: str = "exact", mxu_rs: float = 1.0,
+    n_inst: int = 0, inst_tris: int = 0,
+    interpret: bool = False,
     attrs=None, inkernel_shade: bool = False,
 ):
     """One bounce for every lane. xs/ys: (R, 128) i32 pixel grids;
@@ -610,10 +692,14 @@ def bounce_tiles(
     lane-state arrays in _CARRY order (..., depth, lim); mesh tables
     from mesh_hit_kernel.pack_mesh_tables_np (n_clusters = padded Cp,
     a GROUP*SGROUP multiple; sgbounds = level-3 supergroup AABBs).
-    woop + mxu_chunks > 0 (small meshes) switch the mesh nearest-hit
-    to the brute-force MXU pass (ops/pallas/woop.py) — the cluster
-    tables are then unused (pass them anyway; they trace nothing).
-    Returns (carry', gid, tt, bu, bv, md(3), mw(3))."""
+    woop + mxu_chunks > 0 switch the mesh nearest-hit to the
+    brute-force MXU pass (ops/pallas/woop.py; the table streams from
+    HBM) — the cluster tables are then unused (pass them anyway; they
+    trace nothing). mxu_prec "exact" writes the best hit; "fast2"
+    (queue spl == 1 only) writes up to 4 candidate gids for the
+    driver's exact re-test (gid, bu, bv, g4 = candidates 1-4; tt stays
+    the sphere/free-tri best).
+    Returns (carry', gid, tt, bu, bv, g4, md(3), mw(3))."""
     from .mesh_hit_kernel import GROUP, SGROUP
 
     rows = xs.shape[0]
@@ -641,7 +727,7 @@ def bounce_tiles(
         + [jax.ShapeDtypeStruct((rows_w, wide), jnp.uint32)]  # state
         + [jax.ShapeDtypeStruct((rows_w, wide), f32)] * 15  # rays..depth,lim
         + [jax.ShapeDtypeStruct((rows_w, wide), jnp.int32)]  # gid
-        + [jax.ShapeDtypeStruct((rows_w, wide), f32)] * 9  # tt,bu,bv,md,mw
+        + [jax.ShapeDtypeStruct((rows_w, wide), f32)] * 12  # tt..g6,md,mw
     )
     kernel = functools.partial(
         _kernel,
@@ -649,7 +735,9 @@ def bounce_tiles(
         n_sg=n_clusters // GROUP // SGROUP, sgroup=SGROUP,
         width=width, has_lens=has_lens, assured=assured,
         max_bounces=max_bounces, spl=spl, queue=queue, hints=hints,
-        mxu_chunks=mxu_chunks, inkernel_shade=inkernel_shade,
+        mxu_chunks=mxu_chunks, mxu_prec=mxu_prec, mxu_rs=mxu_rs,
+        n_inst=n_inst, inst_tris=inst_tris,
+        inkernel_shade=inkernel_shade,
     )
     if inkernel_shade:
         assert queue and spl == 1 and attrs is not None and len(attrs) == 9
@@ -678,18 +766,24 @@ def bounce_tiles(
                 table(sbounds, pltpu.SMEM if sbounds.shape[0] <= 512 else pltpu.VMEM),
                 table(sgbounds, pltpu.SMEM if sgbounds.shape[0] <= 512 else pltpu.VMEM),
                 pl.BlockSpec(memory_space=pl.ANY),
-                table(woop, pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),  # woop table: HBM, DMA-streamed
+                smem(inst.shape),  # instance table (1, 24) dummy when off
             ]
         ),
-        out_specs=[lane] * 28,
+        out_specs=[lane] * 31,
         out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((GROUP * (width // 8), 8 * TRI_COLS), jnp.float32),
             pltpu.SemaphoreType.DMA((GROUP,)),
-        ],
+        ] + ([
+            pltpu.VMEM((_W_ROWS * _W_CHUNK, 128), jnp.float32),
+            pltpu.VMEM((_W_ROWS * _W_CHUNK, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ] if mxu_chunks else []),
         interpret=interpret,
     )(rsh(xs), rsh(ys), rsh(samp), *(rsh(a) for a in carry), *attr_args,
-      sph_table, ft_table, cam_vec, bounds, sbounds, sgbounds, tri, woop)
+      sph_table, ft_table, cam_vec, bounds, sbounds, sgbounds, tri, woop,
+      inst)
     if factor > 1:
         outs = [o.reshape(rows, LANES) for o in outs]
     return outs[:18], outs[18:]

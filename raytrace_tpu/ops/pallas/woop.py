@@ -1,86 +1,127 @@
-"""MXU Woop-transform mesh intersection (round 4).
+"""MXU Woop-transform mesh intersection (rounds 4-5).
 
-For SMALL meshes (<= ~2.5k triangles — the spaceship_r1 class) the
-cluster-walk intersection in the mesh kernels is ~10x off the VPU flop
-roofline: the per-triangle work is serialized scalar VMEM loads plus a
-loop-carried read-modify-write of the best-hit refs, and on mesh-heavy
-scenes' diverged secondary rays the block-granular cull retires almost
-nothing (VERDICT round-3 items 1 and 7). This module reformulates the
-whole intersection as matmuls so the MXU does the O(rays x tris) work,
-brute-force — exactly the approach the reference GPU itself takes on
-this scene class (trace.wgsl:386-444; its KD traversal is a stub,
-trace.wgsl:664-667) at 12 Mpaths/s:
+For meshes where block-granular culling retires nothing (diverged
+secondary rays on mesh-filling scenes — the spaceship_r1 class), the
+cluster-walk intersection is ~10x off the VPU flop roofline: per-
+triangle work is serialized scalar VMEM loads plus a loop-carried
+read-modify-write of the best-hit refs. This module reformulates the
+whole O(rays x tris) test as matmuls so the MXU does the work, brute
+force — the approach the reference GPU itself takes on this scene
+class (trace.wgsl:386-444; its KD traversal is a stub,
+trace.wgsl:664-667).
 
-  Build: per triangle, the affine map (W, b) to local coordinates
-  (u, v, w) where p = v0 + u e1 + v e2 + w n, n = e1 x e2. The w row is
-  left UNNORMALIZED (= n), so |d'w| equals the Moller-Trumbore det and
-  the reference's EPS det guard (trace.wgsl:628) transfers unchanged.
-  A triangle contributes SIX rows to the coefficient matrix A —
-  [u_o, v_o, w_o, u_d, v_d, w_d] — against the per-ray column
-  X = [ox oy oz 1 dx dy dz 0]: o' rows carry [W | -W v0 | 0], d' rows
-  [0 | 0 | W | 0]. Triangles stay in GLOBAL id order, so the argmin row
-  index IS the id (no in-kernel gather needed).
+Build (pack_woop_table_np): per triangle, the affine map to local
+coordinates (u, v, w) where p = v0 + u e1 + v e2 + w n, n = e1 x e2.
+SEVEN rows per triangle against the per-ray column
+X = [ox oy oz 1 dx dy dz 0]:
 
-  Kernel pass (inlined into mesh_bounce_kernel when scene.mxu_chunks):
-  per sublane row, dot(A_chunk (6c, 8), X (8, N)) at HIGHEST precision
-  (multi-pass bf16 ~ f32 — single-pass bf16 is numerically unusable
-  here: ray origins ~30 units vs triangle extents ~0.1 make the o'-row
-  cancellation catastrophic at 8 mantissa bits), then a ~20-op VPU
-  epilogue, log-tree min-reductions, and REGISTER carries across
-  chunks. No per-triangle serial chain, no scalar loads, no DMA, no
-  cull — cost is occupancy-independent and identical for coherent and
-  diverged rays.
+  0: U_o = s*(Wu.o + bu)    3: U_d = s*(Wu.d)
+  1: V_o = s*(Wv.o + bv)    4: V_d = s*(Wv.d)
+  2: W_o = n.o + bw         5: W_d = n.d  (== the MT det: the w row is
+                               UNNORMALIZED so the reference's EPS det
+                               guard, trace.wgsl:628, transfers as-is)
+  6: S   = s  (bias-only row)
 
-  Microbench (scripts/microbench_mxu.py, one v5e, 128k rays,
-  spaceship_r1 2097 tris): brute MXU 17.1-17.6 ms vs the cluster
-  kernel's 43.0-45.7 ms, on BOTH primary and diverged-bounce ray sets;
-  0 hit-mask / gid mismatches vs float64 Moller-Trumbore. A
-  chunk-culled variant (BVH-ordered chunks, slab test per chunk, gid
-  riding a 7th matmul row) measured 22.0 ms — the cull retires nothing
-  once a 1024-ray block spans the frame, and the chunk-outer scratch
-  RMW + extra row cost 28% — so brute it is.
+s = 2^-ceil(log2 max|Wu,Wv rows + biases|) is a POWER OF TWO, so the
+scaling commutes with every rounding step: at HIGHEST precision the
+scaled pass produces bit-identical u = u_hat/s, v = v_hat/s, t to the
+unscaled 6-row table of round 4. What the scaling buys is the fast
+mode: the one-sided validity tests u_hat >= 0, v_hat >= 0,
+u_hat+v_hat <= S are scale-invariant, and with O(1) rows the absolute
+error of a low-precision pass in (u_hat, v_hat) is uniform
+~ (|o|+R_s) * 2^-17 regardless of triangle size — so a tolerance band
+exists that admits every true hit while keeping the junk band
+geometrically thin (scripts/proto_refine.py measurements).
 
-Numerics: same u, v, t as Moller-Trumbore in exact arithmetic; f32 +
-bf16-multipass evaluation differs in ulps, so cross-checks against the
-XLA integrator are tolerance-based (the cluster path keeps its
-bit-parity tests).
+Storage: the table lives in HBM and streams through a double-buffered
+VMEM scratch, one chunk (7*CHUNK rows x 8) per DMA (~14 KB) — the
+round-4 VMEM-resident table padded its 8-wide minor dim to 128 lanes
+(16x waste) and capped the pass at 2,560 triangles; streaming removes
+the cap (VERDICT round-4 item 2).
+
+Modes (static `prec` on the kernel, replacing the round-4
+RTPU_MXU_PREC env global so tests can exercise both):
+
+  "exact": 6-pass bf16 (Precision.HIGHEST ~ f32) dot; strict validity;
+    best hit (t, gid, u, v) written to the output refs — same numbers
+    as the round-4 default path, ulps off Moller-Trumbore.
+  "fast2": 3-pass bf16 (f32 ~ hi+lo; R ~ Ah@Xh + Ah@Xl + Al@Xh);
+    validity widened by the per-lane tau band; tracks the TOP-K
+    (K = 4) candidates by fast t. The kernel then classifies a lane
+    mesh-pending iff a candidate's fast t could beat the sphere/
+    free-tri best (margin MARGIN_REL*t + MARGIN_ABS), and the DRIVER
+    re-tests just those <= 4 candidates with exact f32
+    Moller-Trumbore (a cheap XLA row gather, render/fused_mesh.py
+    _refine_pend) — exact-MT hit results (bit-matching the XLA
+    integrator's _triangle_t, BETTER parity than "exact" mode) at
+    half the matmul cost: 7 rows x 3 passes vs 6 rows x 6.
+    Lanes whose candidates all fail the exact re-test are re-submitted
+    with a one-launch "no mesh" marker (sk carry = 1) and shade
+    sphere/free-tri/miss in-kernel on the next launch.
+
+    Residual error class (scripts/proto_refine.py, 65,536 rays vs
+    float64 brute force, spaceship_r1): the exact winner can be
+    displaced from the top-4 by >= 4 nearer junk candidates (grazing
+    planes inside the tolerance band) — measured rates are in
+    BENCH_NOTES round 5; every surviving candidate's (t, u, v, gid)
+    is exact.
+
+Microbench (scripts/microbench_mxu.py, one v5e, 128k rays,
+spaceship_r1 2097 tris, round 4 numbers for the resident 6-row table):
+brute MXU HIGHEST 17.1-17.6 ms vs the cluster kernel's 43.0-45.7 ms
+on both primary and diverged-bounce ray sets; bf16_3x 11.9 ms.
+Round-5 numbers for this streamed 7-row kernel are in BENCH_NOTES.
 """
 from __future__ import annotations
-
-import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
-
-# RTPU_MXU_PREC=3x: manual bf16_3x dot (f32 ~ hi + lo bf16 terms;
-# R ~ Ah@Xh + Ah@Xl + Al@Xh, 3 native passes vs HIGHEST's 6) — 17.0 ->
-# 11.9 ms per 128k-ray pass on spaceship_r1, BUT ~0.5% of diverged
-# BOUNCE rays misclassify vs float64 (grazing hits: 16 effective
-# mantissa bits; 8 mask + 29 gid mismatches per 8192, rel-t outliers
-# ~1; primary rays 0/2 — scripts/microbench_mxu.py, round 4; a
-# mesh-local frame does not help, the mesh is already origin-adjacent).
-# Default stays the exact HIGHEST pass; this is an opt-in speed mode
-# whose image error class is documented, not silent.
-_PREC = os.environ.get("RTPU_MXU_PREC", "highest")
+from jax.experimental.pallas import tpu as pltpu
 
 EPS = 1e-4
 INF = 3.4e38
 CHUNK = 64  # triangles per matmul chunk (microbench-tuned)
-ROWS_PER_TRI = 6
-# VMEM budget gate: the (6*Tp, 8) f32 table pads its minor dim to 128
-# lanes in VMEM (6*Tp*512 B) — cap at ~7.9 MB so the bounce kernel's
-# lane blocks and chunk temps fit alongside. 2560 covers spaceship_r1.
+ROWS_PER_TRI = 7
+# Scene-gate for ENABLING the MXU pass by default (models/scene.py).
+# No longer a VMEM limit (the table streams from HBM) — it marks the
+# scene class where brute force beats the cluster walk. Overridable
+# via RTPU_MXU_MAX_TRIS.
 MAX_TRIS = 2560
+# fast2 candidates per ray: top-(K_CAND-1) by fast t + 1 far slot.
+# Real-path coverage on the test scene (scripts/debug_fast2.py,
+# wavefront vs integrator, 4096 px x 2 spp): winner-missed lanes 42 at
+# K=4 -> near-oracle at K=6 (the RTPU_REFINE_BRUTE oracle measures 8
+# mismatch lanes vs exact mode's 26 — fast2's exact-MT hits agree with
+# the integrator BETTER than the 6-pass HIGHEST path does).
+K_CAND = 6
+# fast2 tolerance band: tau = TAU_C * (|o| + R_s) * 2^-17 on the
+# scaled (u_hat, v_hat) tests (scripts/proto_refine.py sweep: junk
+# admission scales with the band; true winners were never u/v-rejected
+# down to tau_c = 0.25). TTOL widens t >= EPS GENEROUSLY: real bounce
+# paths hit adjacent geometry at t barely above EPS (the next surface
+# sits one offset away), and at fast precision those are inseparable
+# from sub-EPS self-intersection junk — both enter as candidates and
+# the exact re-test decides. The displacement risk this opens (near-
+# origin junk filling the top-3) is covered by the FAR slot: candidate
+# 4 is the best hit with t >= FAR_T, so the first real surface beyond
+# the origin cluster always survives.
+TAU_C = 2.0
+TTOL = 1e-3
+FAR_T = 16.0 * EPS
+# mesh-vs-sphere classification margin on the fast t
+MARGIN_REL = 1.0 / 64.0
+MARGIN_ABS = 1e-3
 
 
 def pack_woop_table_np(v0, e1, e2):
     """Triangle arrays ((M, 3) each, global order) ->
-    (woop (n_chunks*6*CHUNK, 8) f32, n_chunks). Rows of chunk ci are
-    grouped by component: [U_o | V_o | W_o | U_d | V_d | W_d] x CHUNK.
-    Degenerate and padding triangles get all-zero rows (d'w = 0 ->
-    rejected by the det guard)."""
+    (woop (n_chunks*7*CHUNK, 8) f32 for HBM, n_chunks, r_s).
+    Rows of chunk ci are grouped by component:
+    [U_o | V_o | W_o | U_d | V_d | W_d | S] x CHUNK. Degenerate and
+    padding triangles get all-zero rows (d'w = 0 -> rejected by the
+    det guard). r_s = max vertex norm (the fast2 tau scale)."""
     v0 = np.asarray(v0, np.float64)
     e1 = np.asarray(e1, np.float64)
     e2 = np.asarray(e2, np.float64)
@@ -94,89 +135,262 @@ def pack_woop_table_np(v0, e1, e2):
     inv[:, 2, :] = n  # unnormalized w row == MT det scale
     inv = np.where(ok[:, None, None], inv, 0.0)
     b = -np.einsum("mij,mj->mi", inv, v0)
+    # power-of-two row scale: commutes with rounding, so the HIGHEST
+    # pass stays bit-identical to the unscaled formulation
+    mag = np.maximum(
+        np.abs(inv[:, 0:2, :]).max(axis=(1, 2)), np.abs(b[:, 0:2]).max(axis=1)
+    )
+    s = np.exp2(-np.ceil(np.log2(np.maximum(mag, 1e-30))))
+    s = np.where(ok, s, 0.0)
 
     n_chunks = Tp // CHUNK
     A = np.zeros((Tp, ROWS_PER_TRI, 8), np.float64)
-    A[:M, 0:3, 0:3] = inv
-    A[:M, 0:3, 3] = b
-    A[:M, 3:6, 4:7] = inv
+    A[:M, 0:2, 0:3] = inv[:, 0:2] * s[:, None, None]
+    A[:M, 0:2, 3] = b[:, 0:2] * s[:, None]
+    A[:M, 2, 0:3] = inv[:, 2]
+    A[:M, 2, 3] = b[:, 2]
+    A[:M, 3:5, 4:7] = inv[:, 0:2] * s[:, None, None]
+    A[:M, 5, 4:7] = inv[:, 2]
+    A[:M, 6, 3] = s
     A = A.reshape(n_chunks, CHUNK, ROWS_PER_TRI, 8).transpose(0, 2, 1, 3)
-    return (A.reshape(n_chunks * ROWS_PER_TRI * CHUNK, 8).astype(np.float32),
-            n_chunks)
+    verts = np.concatenate([v0, v0 + e1, v0 + e2], axis=0)
+    r_s = float(np.linalg.norm(verts, axis=1).max()) if M else 1.0
+    # minor dim zero-padded 8 -> 128: HBM refs are (1, 128)-tiled, so
+    # the per-chunk DMA slice must be lane-aligned; the matmul then
+    # runs at K = 128 against X tiled 16x — the LHS zero columns
+    # annihilate the repeats, and a K <= 128 contraction costs the
+    # same systolic passes either way (the MXU is 128 deep), so the
+    # padding is time-neutral and keeps exact-mode bit-compat
+    # (accumulating exact zeros).
+    Af = np.zeros((n_chunks * ROWS_PER_TRI * CHUNK, 128), np.float32)
+    Af[:, :8] = A.reshape(n_chunks * ROWS_PER_TRI * CHUNK, 8)
+    return Af, n_chunks, r_s
 
 
-def mxu_mesh_hit(ox, oy, oz, dx, dy, dz, woop_ref,
-                 tt_o, gid_o, bu_o, bv_o, *, n_chunks: int):
-    """The in-kernel pass: rays as (8, N) block VALUES (N a multiple of
-    128 — wider N amortizes matmul fixed cost; the caller reshapes its
-    lane arrays to (rows/8, 8*128) blocks). Best-hit OUTPUT refs are
-    seeded by the caller (tt_o = sphere/free-tri best, -INF on dead
-    lanes; gid_o = -1) and updated once per sublane row — the
-    cross-chunk carries live in registers."""
+def _insert_cand(tks, gks, tc, gc):
+    """Insert candidate (tc, gc) into the sorted top-K lists (each a
+    list of (1, N) arrays). ~4 selects per slot."""
+    K = len(tks)
+    out_t, out_g = [], []
+    for k in range(K):
+        beats = tc < tks[k]
+        # slot k becomes tc where it beats; previous slot value shifts
+        # down one (handled by iterating with a running carry)
+        out_t.append(jnp.where(beats, tc, tks[k]))
+        out_g.append(jnp.where(beats, gc, gks[k]))
+        # the displaced value becomes the candidate for slot k+1
+        tc2 = jnp.where(beats, tks[k], tc)
+        gc2 = jnp.where(beats, gks[k], gc)
+        tc, gc = tc2, gc2
+    return out_t, out_g
+
+
+def mxu_mesh_hit(
+    ox, oy, oz, dx, dy, dz, woop_hbm, buf0, buf1, dsem,
+    tt_o, gid_o, bu_o, bv_o, g4_o, g5_o, g6_o,
+    *, n_chunks: int, prec: str, rs: float, nomesh=None,
+):
+    """The in-kernel pass: rays as (8, N) block VALUES (N a multiple
+    of 128 — the caller reshapes its lane arrays to (rows/8, 8*128)
+    blocks when possible).
+
+    exact: best-hit OUTPUT refs are seeded by the caller (tt_o =
+      sphere/free-tri best, -INF on dead lanes; gid_o = -1) and
+      updated where the mesh wins: (tt, gid, bu, bv) = (t, gid, u, v).
+    fast2: tt_o is left at the sphere/free-tri seed; gid_o/bu_o/bv_o/
+      g4_o/g5_o/g6_o get candidates 1..6 as f32 gids (-1 = none) for
+      lanes whose best candidate could beat the seed (classified
+      mesh-pending); nomesh (8, N) bool masks lanes that must skip
+      classification this launch (their candidates already failed the
+      exact re-test).
+
+    woop_hbm: HBM ref (n_chunks*7*CHUNK, 128), coefficients in lanes
+    0:8; buf0/buf1: (7*CHUNK, 128) VMEM scratch (double buffer); dsem:
+    DMA semaphores (2,)."""
     sub, N = ox.shape
     assert sub == 8, ox.shape
     chunk = CHUNK
+    rows = ROWS_PER_TRI * chunk
+    fast = prec == "fast2"
     one = jnp.ones((1, N), jnp.float32)
     zero = jnp.zeros((1, N), jnp.float32)
     iota = jax.lax.broadcasted_iota(jnp.int32, (chunk, N), 0).astype(jnp.float32)
 
-    for r in range(8):  # static unroll over sublane rows
+    bufs = (buf0, buf1)
+
+    def dma(ci, parity):
+        return pltpu.make_async_copy(
+            woop_hbm.at[pl.ds(ci * rows, rows)], bufs[parity], dsem.at[parity]
+        )
+
+    # per-sublane-row ray matrices (and bf16 splits for fast mode),
+    # built once — the chunk loop reuses them
+    Xs, Xhs, Xls = [], [], []
+    for r in range(8):
         X = jnp.concatenate(
             [ox[r:r + 1, :], oy[r:r + 1, :], oz[r:r + 1, :], one,
              dx[r:r + 1, :], dy[r:r + 1, :], dz[r:r + 1, :], zero],
             axis=0)  # (8, N)
+        Xs.append(X)
+        if fast:
+            Xh = X.astype(jnp.bfloat16)
+            Xhs.append(Xh)
+            Xls.append((X - Xh.astype(jnp.float32)).astype(jnp.bfloat16))
 
-        if _PREC == "3x":
-            X_hi = X.astype(jnp.bfloat16)
-            X_lo = (X - X_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    if fast:
+        # per-lane tolerance: uniform absolute error bound of the
+        # 3-pass product on the O(1)-scaled u/v rows
+        o_mag = jnp.sqrt(ox * ox + oy * oy + oz * oz)
+        tau_all = (TAU_C * (2.0 ** -17)) * (o_mag + rs)  # (8, N)
+        # carries per sublane row: top-(K_CAND-1) (t, gid) over all
+        # candidates + top-1 (t, gid) over FAR (t >= FAR_T) ones
+        carry0 = []
+        for r in range(8):
+            carry0 += [jnp.full((1, N), INF)] * (K_CAND - 1)
+            carry0 += [jnp.full((1, N), -1.0)] * (K_CAND - 1)
+            carry0 += [jnp.full((1, N), INF), jnp.full((1, N), -1.0)]
+    else:
+        carry0 = []
+        for r in range(8):
+            carry0 += [tt_o[r:r + 1, :], jnp.full((1, N), -1.0),
+                       jnp.zeros((1, N)), jnp.zeros((1, N))]
+    n_carry_per_row = 2 * K_CAND if fast else 4
 
-        def body(ci, carry, X=X):
-            tb, gb, ub, vb = carry
-            A = woop_ref[pl.ds(ci * ROWS_PER_TRI * chunk,
-                               ROWS_PER_TRI * chunk), :]
-            if _PREC == "3x":
+    def chunk_work(ci, parity, carry):
+        dma(ci, parity).wait()
+
+        @pl.when(ci + 1 < n_chunks)
+        def _():
+            dma(ci + 1, 1 - parity).start()
+
+        A = bufs[parity][...]  # (7c, 128), coefficients in lanes 0:8
+        if fast:
+            Ah = A.astype(jnp.bfloat16)
+            Al = (A - Ah.astype(jnp.float32)).astype(jnp.bfloat16)
+        out = list(carry)
+        tile16 = lambda x: jnp.concatenate([x] * 16, axis=0)  # (128, N)
+        for r in range(8):
+            if fast:
                 dot = lambda a, b: jax.lax.dot_general(
                     a, b, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.DEFAULT)
-                A_hi = A.astype(jnp.bfloat16)
-                A_lo = (A - A_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-                R = dot(A_hi, X_hi) + dot(A_hi, X_lo) + dot(A_lo, X_hi)
+                Xh = tile16(Xhs[r])
+                Xl = tile16(Xls[r])
+                R = dot(Ah, Xh) + dot(Ah, Xl) + dot(Al, Xh)
             else:
                 R = jax.lax.dot_general(
-                    A, X, (((1,), (0,)), ((), ())),
+                    A, tile16(Xs[r]), (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)  # (6*chunk, N)
+                    precision=jax.lax.Precision.HIGHEST)  # (7c, N)
             oU, oV, oW = (R[0:chunk], R[chunk:2 * chunk],
                           R[2 * chunk:3 * chunk])
             dU, dV, dW = (R[3 * chunk:4 * chunk], R[4 * chunk:5 * chunk],
                           R[5 * chunk:6 * chunk])
+            S = R[6 * chunk:7 * chunk]
             okw = jnp.abs(dW) >= EPS  # == the MT det guard
             invw = 1.0 / jnp.where(okw, dW, 1.0)
             t = -oW * invw
             u = oU + t * dU
             v = oV + t * dV
-            valid = (okw & (u >= 0.0) & (u <= 1.0) & (v >= 0.0)
-                     & (u + v <= 1.0) & (t >= EPS))
-            tm = jnp.where(valid, t, INF)
-            tmin = jnp.min(tm, axis=0, keepdims=True)  # (1, N)
-            idx = jnp.where(tm == tmin, iota, float(chunk))
-            idxmin = jnp.min(idx, axis=0, keepdims=True)
-            sel = iota == idxmin  # unique row -> masked sums select
-            usel = jnp.sum(jnp.where(sel, u, 0.0), axis=0, keepdims=True)
-            vsel = jnp.sum(jnp.where(sel, v, 0.0), axis=0, keepdims=True)
-            better = (tmin < tb) & (idxmin < float(chunk))
-            gb = jnp.where(better,
-                           idxmin + (ci * chunk).astype(jnp.float32), gb)
-            tb = jnp.where(better, tmin, tb)
-            ub = jnp.where(better, usel, ub)
-            vb = jnp.where(better, vsel, vb)
-            return tb, gb, ub, vb
+            base = r * n_carry_per_row
+            if fast:
+                tau = tau_all[r:r + 1, :]
+                valid = (okw & (u >= -tau) & (v >= -tau)
+                         & (u + v <= S + 2.0 * tau) & (t >= EPS - TTOL))
+                tm = jnp.where(valid, t, INF)
+                K1 = K_CAND - 1
+                tks = out[base:base + K1]
+                gks = out[base + K1:base + 2 * K1]
+                tf, gf = out[base + 2 * K1], out[base + 2 * K1 + 1]
+                # far slot: best candidate clearly beyond the origin
+                # cluster (immune to near-EPS junk displacement)
+                tmf = jnp.where(tm >= FAR_T, tm, INF)
+                tfmin = jnp.min(tmf, axis=0, keepdims=True)
+                idxf = jnp.where(tmf == tfmin, iota, float(chunk))
+                idxfmin = jnp.min(idxf, axis=0, keepdims=True)
+                fbetter = tfmin < tf
+                gf = jnp.where(
+                    fbetter,
+                    idxfmin + jnp.asarray(ci * chunk, jnp.float32), gf)
+                tf = jnp.where(fbetter, tfmin, tf)
+                # extract the chunk's K1 smallest, insert each into
+                # the running sorted top-K1
+                for _ in range(K1):
+                    tmin = jnp.min(tm, axis=0, keepdims=True)
+                    idx = jnp.where(tm == tmin, iota, float(chunk))
+                    idxmin = jnp.min(idx, axis=0, keepdims=True)
+                    gc = jnp.where(
+                        idxmin < float(chunk),
+                        idxmin + jnp.asarray(ci * chunk, jnp.float32), -1.0)
+                    tks, gks = _insert_cand(tks, gks, tmin, gc)
+                    # mask the extracted row out for the next extract
+                    tm = jnp.where(iota == idxmin, INF, tm)
+                out[base:base + K1] = tks
+                out[base + K1:base + 2 * K1] = gks
+                out[base + 2 * K1], out[base + 2 * K1 + 1] = tf, gf
+            else:
+                valid = (okw & (u >= 0.0) & (v >= 0.0) & (u + v <= S)
+                         & (t >= EPS))
+                tm = jnp.where(valid, t, INF)
+                tmin = jnp.min(tm, axis=0, keepdims=True)
+                idx = jnp.where(tm == tmin, iota, float(chunk))
+                idxmin = jnp.min(idx, axis=0, keepdims=True)
+                sel = iota == idxmin  # unique row -> masked-sum select
+                # u_hat/s with s a power of two: exact, bit-equal to
+                # the unscaled round-4 formulation
+                invS = 1.0 / jnp.maximum(S, 1e-30)
+                uu = u * invS
+                vv = v * invS
+                usel = jnp.sum(jnp.where(sel, uu, 0.0), axis=0, keepdims=True)
+                vsel = jnp.sum(jnp.where(sel, vv, 0.0), axis=0, keepdims=True)
+                tb, gb, ub, vb = out[base:base + 4]
+                better = (tmin < tb) & (idxmin < float(chunk))
+                gb = jnp.where(
+                    better, idxmin + jnp.asarray(ci * chunk, jnp.float32), gb)
+                tb = jnp.where(better, tmin, tb)
+                ub = jnp.where(better, usel, ub)
+                vb = jnp.where(better, vsel, vb)
+                out[base:base + 4] = tb, gb, ub, vb
+        return out
 
-        init = (tt_o[r:r + 1, :], jnp.full((1, N), -1.0),
-                jnp.zeros((1, N)), jnp.zeros((1, N)))
-        tb, gb, ub, vb = jax.lax.fori_loop(0, n_chunks, body, init)
-        tt_o[r:r + 1, :] = tb
-        gid_o[r:r + 1, :] = gb.astype(jnp.int32)
-        bu_o[r:r + 1, :] = ub
-        bv_o[r:r + 1, :] = vb
+    dma(0, 0).start()
+    # chunk-PAIR loop so the double-buffer parity is static inside the
+    # body; an odd trailing chunk runs statically after the loop
+    # (n_chunks is a python int)
+    n_pairs = n_chunks // 2
+
+    def pair_body(cj, carry):
+        carry = chunk_work(2 * cj, 0, carry)
+        return chunk_work(2 * cj + 1, 1, carry)
+
+    carry = jax.lax.fori_loop(0, n_pairs, pair_body, carry0)
+    if n_chunks % 2:
+        carry = chunk_work(n_chunks - 1, (n_chunks - 1) % 2, carry)
+
+    for r in range(8):
+        base = r * n_carry_per_row
+        if fast:
+            K1 = K_CAND - 1
+            t1 = carry[base]
+            g1 = carry[base + K1]
+            margin = MARGIN_REL * t1 + MARGIN_ABS
+            pend = (g1 >= 0.0) & (t1 - margin < tt_o[r:r + 1, :])
+            if nomesh is not None:
+                pend = pend & ~nomesh[r:r + 1, :]
+            sel = lambda a: jnp.where(pend, a, -1.0)
+            gid_o[r:r + 1, :] = sel(g1).astype(jnp.int32)
+            bu_o[r:r + 1, :] = sel(carry[base + K1 + 1])
+            bv_o[r:r + 1, :] = sel(carry[base + K1 + 2])
+            g4_o[r:r + 1, :] = sel(carry[base + K1 + 3])
+            g5_o[r:r + 1, :] = sel(carry[base + K1 + 4])
+            g6_o[r:r + 1, :] = sel(carry[base + 2 * K1 + 1])  # far
+        else:
+            tb, gb, ub, vb = carry[base:base + 4]
+            tt_o[r:r + 1, :] = tb
+            gid_o[r:r + 1, :] = gb.astype(jnp.int32)
+            bu_o[r:r + 1, :] = ub
+            bv_o[r:r + 1, :] = vb
+            g4_o[r:r + 1, :] = jnp.full((1, N), -1.0)
+            g5_o[r:r + 1, :] = jnp.full((1, N), -1.0)
+            g6_o[r:r + 1, :] = jnp.full((1, N), -1.0)

@@ -31,12 +31,94 @@ from ..ops import vec as v3
 from ..ops.vec import Vec3
 from ..ops.intersect import EPS
 from .integrator import (
+    INF,
     IntegratorParams,
     _diff_dir,
+    _triangle_t,
     mesh_attrs_compacted,
     mesh_attrs_dense,
     sample_cubemap,
 )
+
+
+def _refine_pend(scene, carry, hitc, sel=None):
+    """Exact-MT re-test of the fast2 MXU candidates (ops/pallas/woop.py
+    mode "fast2": hitc = (g1, t_sph, g2, g3, g4), candidate gids as
+    ints/floats, -1 = none) for the (selected) mesh-pending lanes.
+
+    Winners — lanes where some candidate's exact f32 Moller-Trumbore
+    hit beats the carried sphere/free-tri best — get their exact
+    (gid, t, u, v) back for the shade stage; `_triangle_t` IS the XLA
+    integrator's triangle test, so winner hits match the integrator
+    bit-for-bit. Lanes whose candidates all fail FLIP: flag = 1 and
+    sk = 1 (the one-launch "no mesh" marker) — the next kernel launch
+    re-traces them with mesh classification suppressed and shades
+    their sphere/free-tri/miss outcome in-kernel, RNG state untouched.
+
+    Returns (carry', win, gid, tt, bu, bv); win is the winner mask
+    (subset of the selected pend lanes)."""
+    flag = carry[0]
+    pend = (flag > 1.5) & (flag < 2.5)
+    if sel is not None:
+        pend = pend & sel
+    g1, t_sph, g2f, g3f, g4f, g5f, g6f = hitc
+    n = flag.shape[0]
+    ro = Vec3(carry[3], carry[4], carry[5])
+    rd = Vec3(carry[6], carry[7], carry[8])
+    tri = scene.mt_tri12
+    Mp = tri.shape[0]
+    import os as _os
+
+    if _os.environ.get("RTPU_REFINE_BRUTE") == "1":
+        # debug oracle: perfect candidate coverage via the integrator's
+        # own cluster intersect — isolates candidate-coverage errors
+        # from flip-protocol errors
+        from .integrator import IntegratorParams, _mesh_hit_clusters
+
+        p = IntegratorParams()
+        tb, gb, ub, vb = _mesh_hit_clusters(
+            scene, p, ro, rd, jnp.where(pend, t_sph, -INF)
+        )
+        win = pend & (gb >= 0)
+        flip = pend & ~win
+        carry = list(carry)
+        carry[0] = jnp.where(flip, 1.0, carry[0])
+        carry[1] = jnp.where(flip, 1.0, carry[1])
+        return (tuple(carry), win, jnp.where(win, gb, -1),
+                jnp.where(win, tb, t_sph), ub, vb)
+    gw = jnp.full((n,), -1, jnp.int32)
+    tw = jnp.full((n,), INF, jnp.float32)
+    uw = jnp.zeros((n,), jnp.float32)
+    vw = jnp.zeros((n,), jnp.float32)
+    pw = jnp.full((n,), INF, jnp.float32)
+    for gf in (g1, g2f, g3f, g4f, g5f, g6f):
+        g = gf.astype(jnp.int32) if gf.dtype != jnp.int32 else gf
+        ok_g = pend & (g >= 0)
+        row = jnp.take(
+            tri, jnp.where(ok_g, jnp.clip(g, 0, Mp - 1), 0), axis=0
+        )
+        p0 = Vec3(row[:, 0], row[:, 1], row[:, 2])
+        e1 = Vec3(row[:, 3], row[:, 4], row[:, 5])
+        e2 = Vec3(row[:, 6], row[:, 7], row[:, 8])
+        t, u, v = _triangle_t(ro, rd, p0, e1, e2, ok_g)
+        # EXACT-t ties (coplanar edge neighbors agree bitwise) must
+        # resolve by cluster scan order (tri12 col 9) — the order the
+        # integrator's fori over clusters and the kernel's walk keep
+        pos = row[:, 9]
+        better = (t < tw) | ((t == tw) & (t < INF) & (pos < pw))
+        gw = jnp.where(better, g, gw)
+        uw = jnp.where(better, u, uw)
+        vw = jnp.where(better, v, vw)
+        pw = jnp.where(better, pos, pw)
+        tw = jnp.where(better, t, tw)
+    win = pend & (tw < t_sph)
+    flip = pend & ~win
+    carry = list(carry)
+    carry[0] = jnp.where(flip, 1.0, carry[0])
+    carry[1] = jnp.where(flip, 1.0, carry[1])  # sk: no-mesh marker
+    gid = jnp.where(win, gw, -1)
+    tt = jnp.where(win, tw, t_sph)
+    return tuple(carry), win, gid, tt, uw, vw
 
 
 def _generate_rsqrt(state, xs, ys, cam):
@@ -244,16 +326,18 @@ def sample_batch_mesh_fused(
                 xs2d, ys2d, samp2d, tuple(r2(a) for a in carry),
                 sph_table, ft_table, cam_vec,
                 scene.mk_bounds, scene.mk_sbounds, scene.mk_sgbounds, scene.mk_tri,
-                scene.mk_woop,
+                scene.mk_woop, scene.mk_inst,
                 n_sph=scene.n_spheres, n_ft=scene.n_free_tris,
                 n_clusters=scene.mk_bounds.shape[0],
-                width=scene.cl_idx.shape[1],
+                width=scene.mk_width,
                 has_lens=has_lens, assured=assured, max_bounces=max_b,
                 spl=spl, hints=hints, mxu_chunks=scene.mxu_chunks,
-                interpret=interpret,
+                mxu_rs=scene.mxu_rs, n_inst=scene.n_inst,
+                inst_tris=scene.inst_tris, interpret=interpret,
             )
             carry = [fl(a) for a in carry2d]
-            gid, tt, bu, bv, mdx, mdy, mdz, mwr, mwg, mwb = (fl(a) for a in outs)
+            (gid, tt, bu, bv, _g4, _g5, _g6, mdx, mdy, mdz, mwr, mwg,
+             mwb) = (fl(a) for a in outs)
 
             if scene.has_cubemap:
                 # deferred sky resolve for lanes that missed THIS
@@ -306,7 +390,7 @@ def sample_batch_mesh_fused(
 
 def _pend_shade_defer(scene, cam, width, height, assured, max_bounces,
                       max_thres, carry, gid, tt, bu, bv, xs, ys, samp,
-                      cw, spl=1, attr_div=4):
+                      cw, spl=1, attr_div=4, g4=None, fast2=False):
     """_mesh_shade on a FIXED-width compacted buffer of the first `cw`
     mesh-pending lanes; the rest DEFER to the next iteration.
 
@@ -351,8 +435,12 @@ def _pend_shade_defer(scene, cam, width, height, assured, max_bounces,
     bc = lambda a: jax.lax.bitcast_convert_type(a, f32)
     cols = [carry[0], carry[1], bc(carry[2])] + list(carry[3:])  # 18
     cols += [bc(gid), tt, bu, bv]  # 22
+    if fast2:
+        cols += [g4[0], g4[1], g4[2]]  # 25: candidates 4-6
+    else:
+        cols += [jnp.zeros_like(tt)] * 3
     if spl > 1:
-        cols += [bc(xs), bc(ys), bc(samp)]  # 25
+        cols += [bc(xs), bc(ys), bc(samp)]  # 28
     mat = jnp.stack(cols, axis=-1)
     sub = jnp.take(mat, lane, axis=0)  # (cw, C) — the one gather
     col = lambda k: sub[:, k]
@@ -363,13 +451,20 @@ def _pend_shade_defer(scene, cam, width, height, assured, max_bounces,
     )
     gid_c, tt_c, bu_c, bv_c = ibc(col(18)), col(19), col(20), col(21)
     if spl > 1:
-        xs_c, ys_c, samp_c = ibc(col(22)), ibc(col(23)), ibc(col(24))
+        xs_c, ys_c, samp_c = ibc(col(25)), ibc(col(26)), ibc(col(27))
     else:
         iz = jnp.zeros((cw,), jnp.int32)
         xs_c = ys_c = samp_c = iz
     # unused slots gathered lane 0's state — mask their flag so
     # the shade treats them as non-pending
     carry_c = (jnp.where(in_slot, carry_c[0], 0.0),) + carry_c[1:]
+    if fast2:
+        # exact-MT re-test of the candidate set on the COMPACTED
+        # buffer; flips (flag -> 1, sk -> 1) scatter back below
+        carry_c, _, gid_c, tt_c, bu_c, bv_c = _refine_pend(
+            scene, carry_c, (gid_c, tt_c, bu_c, bv_c, col(22), col(23),
+                             col(24))
+        )
     out_c = _mesh_shade(scene, cam, width, height, xs_c, ys_c, samp_c,
                         spl, assured, max_bounces, max_thres, carry_c,
                         gid_c, tt_c, bu_c, bv_c, queue=True,
@@ -378,10 +473,10 @@ def _pend_shade_defer(scene, cam, width, height, assured, max_bounces,
     out = list(carry)
     # indices _mesh_shade can change: flag, state, ray, throughput,
     # radiance, depth; with chunked regen (spl > 1) also sk=1 and
-    # inten=12 (lim=17 is never written)
+    # inten=12 (lim=17 is never written); fast2 flips write sk too
     idxs = (0, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 13, 14, 15, 16)
-    if spl > 1:
-        idxs = idxs + (1, 12)
+    if spl > 1 or fast2:
+        idxs = idxs + ((1, 12) if spl > 1 else (1,))
     for k in idxs:
         out[k] = out[k].at[dest].set(out_c[k], mode="drop")
     return tuple(out)
@@ -394,6 +489,7 @@ def wavefront_mesh_fused(
     return_stats: bool = False, ablate: str = "", shade_width: int = 0,
     spl: int = 1, compact_lanes: bool = False, attr_div: int = 0,
     retire_width: int = 0, inkernel_shade: bool = False,
+    mxu_prec: str = None,
 ):
     """Queue-refilled (wavefront) driver over the fused mesh bounce
     kernel — the round-2 production path for mesh scenes.
@@ -481,6 +577,22 @@ def wavefront_mesh_fused(
     # mode only (the chunked kernel's regen block does not handle
     # mid-chunk shade completion).
     iks = inkernel_shade and spl == 1 and "shade" not in ab
+    # fast2 candidate-refine MXU mode (round 5): 3-pass bf16 top-4
+    # candidates in-kernel + exact-MT driver re-test (_refine_pend).
+    # Default on MXU scenes; RTPU_MXU_PREC=exact restores the round-4
+    # 6-pass HIGHEST path. Requires spl == 1 (the no-mesh flip marker
+    # rides the sk carry) and no ablation stubs (the flip protocol
+    # needs the real shade/assign stages).
+    # callers going through the module-level jit MUST pass mxu_prec
+    # explicitly (the Renderer does) — the env fallback here is only
+    # safe for direct/test calls, where each call retraces
+    import os as _os
+
+    if mxu_prec is None:
+        mxu_prec = _os.environ.get("RTPU_MXU_PREC", "fast2")
+    fast2 = (scene.mxu_chunks > 0 and spl == 1 and not ab
+             and mxu_prec == "fast2")
+    mxu_prec = "fast2" if fast2 else "exact"
 
     def resolve(m_t, md_t, mw_t):
         sky = sample_cubemap(
@@ -572,8 +684,8 @@ def wavefront_mesh_fused(
             f32 = jnp.float32
             bc = lambda a: jax.lax.bitcast_convert_type(a, f32)
             cols = [carry[0], carry[1], bc(carry[2])] + list(carry[3:])
-            cols += [bc(hitc[0]), hitc[1], hitc[2], hitc[3],
-                     bc(xs), bc(ys), bc(samp), bc(pix)]
+            cols += [bc(hitc[0])] + list(hitc[1:7])
+            cols += [bc(xs), bc(ys), bc(samp), bc(pix)]
             cols += list(skc)  # strict-retire sky banks (empty if off)
             mat = jnp.take(jnp.stack(cols, axis=-1), inv, axis=0)
             col = lambda k: mat[:, k]
@@ -582,10 +694,10 @@ def wavefront_mesh_fused(
             carry = (col(0), col(1), ubc(col(2))) + tuple(
                 col(k) for k in range(3, 18)
             )
-            hitc = (ibc(col(18)), col(19), col(20), col(21))
-            xs, ys = ibc(col(22)), ibc(col(23))
-            samp, pix = ibc(col(24)), ibc(col(25))
-            skc = tuple(col(26 + k) for k in range(len(skc)))
+            hitc = (ibc(col(18)),) + tuple(col(19 + k) for k in range(6))
+            xs, ys = ibc(col(25)), ibc(col(26))
+            samp, pix = ibc(col(27)), ibc(col(28))
+            skc = tuple(col(29 + k) for k in range(len(skc)))
         attrs = None
         if iks:
             # ---- shade-prep (in-kernel shade mode): gather surface
@@ -604,7 +716,18 @@ def wavefront_mesh_fused(
                 ready_p = pend_p & (ranks_p < cw)
             else:
                 ready_p = pend_p
-            gid_c, tt_c, bu_c, bv_c = hitc
+            if fast2:
+                # exact-MT re-test of the candidates BEFORE the attr
+                # gather; flips leave ready_p (flag -> 1, sk -> 1) and
+                # re-trace mesh-free next launch; deferred pend lanes
+                # keep their raw candidate record for a later pass
+                carry, win_p, gid_c, tt_c, bu_c, bv_c = _refine_pend(
+                    scene, tuple(carry), hitc, sel=ready_p
+                )
+                carry = list(carry)
+                ready_p = ready_p & win_p
+            else:
+                gid_c, tt_c, bu_c, bv_c = hitc[:4]
             mi_p = jnp.where(
                 ready_p, jnp.clip(gid_c, 0, scene.mt_attr.shape[0] - 1), 0
             )
@@ -615,7 +738,9 @@ def wavefront_mesh_fused(
             attrs = (anx, any_, anz, arr, arg, arb, amet, argh,
                      jnp.where(ready_p, tt_c, 0.0))
             carry = list(carry)
-            carry[0] = jnp.where(ready_p, 4.0, flag_p)
+            # NOT flag_p: the fast2 refine may have flipped lanes to
+            # flag 1 (no-mesh re-trace) — those must keep their flip
+            carry[0] = jnp.where(ready_p, 4.0, carry[0])
         was_active = carry[0] > 0.5
         # deferred lanes (flag == 2 at launch) are skipped by the
         # kernel — don't count them as bounce work in lane_bounces
@@ -626,27 +751,35 @@ def wavefront_mesh_fused(
             r2(xs), r2(ys), r2(samp), tuple(r2(a) for a in carry),
             sph_table, ft_table, cam_vec,
             scene.mk_bounds, scene.mk_sbounds, scene.mk_sgbounds, scene.mk_tri,
-            scene.mk_woop,
+            scene.mk_woop, scene.mk_inst,
             n_sph=scene.n_spheres, n_ft=scene.n_free_tris,
             n_clusters=scene.mk_bounds.shape[0],
-            width=scene.cl_idx.shape[1],
+            width=scene.mk_width,
             has_lens=has_lens,
             assured=assured, max_bounces=max_b, spl=spl, queue=True,
-            hints=hints, mxu_chunks=scene.mxu_chunks, interpret=interpret,
+            hints=hints, mxu_chunks=scene.mxu_chunks, mxu_prec=mxu_prec,
+            mxu_rs=scene.mxu_rs, n_inst=scene.n_inst,
+            inst_tris=scene.inst_tris, interpret=interpret,
             attrs=None if attrs is None else tuple(r2(a) for a in attrs),
             inkernel_shade=iks,
         )
         carry = [fl(a) for a in carry2d]
-        gid, tt, bu, bv, mdx, mdy, mdz, mwr, mwg, mwb = (fl(a) for a in outs)
+        (gid, tt, bu, bv, g4, g5, g6, mdx, mdy, mdz, mwr, mwg,
+         mwb) = (fl(a) for a in outs)
         # merge this launch's hit records over the carried ones: lanes
         # the kernel deferred (flag still 2, output gid == -1) keep the
-        # hit they recorded when they first went pending
+        # hit they recorded when they first went pending. (fast2: the
+        # record is the candidate set (g1, t_sph, g2, g3, g4) instead
+        # of a resolved hit — same merge.)
         new_hit = gid >= 0
         gid = jnp.where(new_hit, gid, hitc[0])
         tt = jnp.where(new_hit, tt, hitc[1])
         bu = jnp.where(new_hit, bu, hitc[2])
         bv = jnp.where(new_hit, bv, hitc[3])
-        hitc = (gid, tt, bu, bv)
+        g4 = jnp.where(new_hit, g4, hitc[4])
+        g5 = jnp.where(new_hit, g5, hitc[5])
+        g6 = jnp.where(new_hit, g6, hitc[6])
+        hitc = (gid, tt, bu, bv, g4, g5, g6)
 
         n_pend = jnp.sum((carry[0] > 1.5).astype(jnp.int32))
         stats = stats[:2] + (stats[2] + n_pend,
@@ -715,16 +848,24 @@ def wavefront_mesh_fused(
             # attribute/texture compaction engages below HALF pend —
             # spaceship averages 0.43, so the gather-heavy stage runs
             # at half width most iterations.
+            gid_s, tt_s, bu_s, bv_s = gid, tt, bu, bv
+            if fast2:
+                carry, _, gid_s, tt_s, bu_s, bv_s = _refine_pend(
+                    scene, tuple(carry), hitc
+                )
+                carry = list(carry)
             carry = _mesh_shade(
                 scene, cam, width, height, xs, ys, samp, spl,
-                assured, max_b, max_thres, tuple(carry), gid, tt, bu, bv,
+                assured, max_b, max_thres, tuple(carry),
+                gid_s, tt_s, bu_s, bv_s,
                 queue=True, attr_div=(attr_div or 2),
             )
         else:
             carry = _pend_shade_defer(
                 scene, cam, width, height, assured, max_b, max_thres,
                 tuple(carry), gid, tt, bu, bv, xs, ys, samp, cw=cw,
-                spl=spl, attr_div=(attr_div or 4),
+                spl=spl, attr_div=(attr_div or 4), g4=(g4, g5, g6),
+                fast2=fast2,
             )
 
         # ---- retirement: deferred sky resolve + radiance scatter.
@@ -920,7 +1061,7 @@ def wavefront_mesh_fused(
         return q, stats, acc, tuple(carry), xs, ys, samp, pix, hitc, tuple(skc)
 
     stats0 = tuple(jnp.int32(0) for _ in range(7))
-    hitc0 = (izero - 1, zero, zero, zero)
+    hitc0 = (izero - 1, zero, zero, zero, zero, zero, zero)
     skc0 = (zero,) * 6 if strict else ()
     init = (q0, stats0, acc0, carry0, xs0, ys0, samp0, pix0, hitc0, skc0)
     if python_loop:

@@ -226,7 +226,7 @@ _jit_wf_mesh_fused_step = jax.jit(
         "width", "height", "pool", "has_lens", "hints", "interpret",
         "python_loop", "return_stats", "spl", "compact_lanes",
         "shade_width", "ablate", "attr_div", "retire_width",
-        "inkernel_shade",
+        "inkernel_shade", "mxu_prec",
     ),
 )
 
@@ -278,12 +278,19 @@ def estimate_mesh_coverage(scene, cam, width: int, height: int) -> float:
     """Estimated fraction of primary rays whose slab test enters the
     mesh root AABB (numpy, every-8th-pixel grid, no jitter) — drives
     the pend-shade mode choice. 0.0 when no mesh."""
-    mb = np.asarray(scene.mk_bounds)
-    valid = mb[:, 0] <= mb[:, 3]
-    if not valid.any():
-        return 0.0
-    lo = mb[valid, 0:3].min(axis=0)
-    hi = mb[valid, 3:6].max(axis=0)
+    if scene.n_inst:
+        # instanced scenes: mk_bounds are asset-LOCAL; the world-space
+        # root AABBs live in the instance table
+        it = np.asarray(scene.mk_inst)
+        lo = it[:, 12:15].min(axis=0)
+        hi = it[:, 15:18].max(axis=0)
+    else:
+        mb = np.asarray(scene.mk_bounds)
+        valid = mb[:, 0] <= mb[:, 3]
+        if not valid.any():
+            return 0.0
+        lo = mb[valid, 0:3].min(axis=0)
+        hi = mb[valid, 3:6].max(axis=0)
     xs = np.arange(0, width, 8, dtype=np.float32)
     ys = np.arange(0, height, 8, dtype=np.float32)
     X, Y = np.meshgrid(xs, ys)
@@ -521,6 +528,13 @@ class Renderer:
                     "RTPU_INKERNEL_SHADE", "1" if _iks_default else "0"
                 ) != "0"
             )
+            # MXU intersection mode: fast2 (3-pass bf16 candidates +
+            # exact-MT driver refine, round 5 default) or exact
+            # (6-pass HIGHEST). Resolved HERE, not at trace time — the
+            # module-level jit caches by static args, so an env read
+            # inside the traced function would bake the first caller's
+            # choice into every later renderer in the process.
+            self.mf_mxu_prec = os.environ.get("RTPU_MXU_PREC", "fast2")
             self._mxs = jnp.asarray((self._perm % self.width).astype(np.int32))
             self._mys = jnp.asarray((self._perm // self.width).astype(np.int32))
             sph_t, ft_t = tk.pack_scene_tables(self.scene)
@@ -541,6 +555,7 @@ class Renderer:
                 shade_width=self.mf_shade_width,
                 retire_width=self.mf_retire_width,
                 inkernel_shade=self.mf_inkernel,
+                mxu_prec=self.mf_mxu_prec,
                 interpret=self.interpret,
             )
 
@@ -602,6 +617,7 @@ class Renderer:
                 _pool, _spl = self.mf_pool, self.mf_spl
                 _cw, _rw = self.mf_shade_width, self.mf_retire_width
                 _iks = self.mf_inkernel
+                _mxp = self.mf_mxu_prec
                 _hl, _hints = self.camera.lens_r is not None, self._mhints
 
                 def _min(tables, cam_vec, scene, cam, params, xs_tab, ys_tab,
@@ -611,7 +627,8 @@ class Renderer:
                         xs_tab, ys_tab, sample_base, n_samples,
                         pool=_pool, has_lens=_hl, hints=_hints, spl=_spl,
                         shade_width=_cw, retire_width=_rw,
-                        inkernel_shade=_iks, interpret=_interp,
+                        inkernel_shade=_iks, mxu_prec=_mxp,
+                        interpret=_interp,
                     )
 
                 self._multi_step, _ = make_spp_sharded_step(self._mesh1d, _min, {})
