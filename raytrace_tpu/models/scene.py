@@ -139,6 +139,9 @@ class SceneArrays:
     mxu_chunks: int = flax.struct.field(pytree_node=False, default=0)
     # fast2 tolerance scale: max vertex norm (ops/pallas/woop.py tau)
     mxu_rs: float = flax.struct.field(pytree_node=False, default=1.0)
+    # fast2 precision gate (pack_woop_table_np band check): False when
+    # the mesh's dynamic range exceeds the bf16x2 candidate budget
+    mxu_fast2_ok: bool = flax.struct.field(pytree_node=False, default=True)
     # instancing statics: instance count (0 = flattened tables) and
     # triangles per asset (the kernel's gid base stride)
     n_inst: int = flax.struct.field(pytree_node=False, default=0)
@@ -613,11 +616,13 @@ def build_scene(scheme: Scheme, pad_mult: int = 2048, pad_small: int = 8) -> Sce
         import os as _os
 
         _gate = int(_os.environ.get("RTPU_MXU_MAX_TRIS", str(_WOOP_MAX)))
-        if M <= _gate and _os.environ.get("RTPU_MXU", "1") != "0":
-            woop_tab, n_wchunks, w_rs = pack_woop_table_np(
+        if (M <= _gate and not kw.get("n_inst")
+                and _os.environ.get("RTPU_MXU", "1") != "0"):
+            woop_tab, n_wchunks, w_rs, w_f2ok = pack_woop_table_np(
                 v0, v1 - v0, v2 - v0
             )
-            kw.update(mk_woop=woop_tab, mxu_chunks=n_wchunks, mxu_rs=w_rs)
+            kw.update(mk_woop=woop_tab, mxu_chunks=n_wchunks, mxu_rs=w_rs,
+                      mxu_fast2_ok=w_f2ok)
         else:
             kw.update(mk_woop=np.zeros((8, 128), np.float32), mxu_chunks=0)
 

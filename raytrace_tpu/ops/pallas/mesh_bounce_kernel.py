@@ -348,12 +348,16 @@ def _kernel(
         # DMA-streamed from HBM — see ops/pallas/woop.py ----
         from .woop import mxu_mesh_hit
 
-        wbuf0, wbuf1, wsem = mxu_scratch
+        if mxu_scratch:
+            wbuf0, wbuf1, wsem = mxu_scratch
+        else:
+            wbuf0 = wbuf1 = wsem = None  # resident table: no DMA
         mxu_mesh_hit(ox, oy, oz, dx, dy, dz, woop_ref, wbuf0, wbuf1, wsem,
                      tt_o, gid_o, bu_o, bv_o, g4_o, g5_o, g6_o,
                      n_chunks=mxu_chunks,
                      prec=("fast2" if fast2 else "exact"), rs=mxu_rs,
-                     nomesh=nomesh if fast2 else None)
+                     nomesh=nomesh if fast2 else None,
+                     resident=not mxu_scratch)
 
     # ---- mesh closest hit: supercluster DMA streaming (see
     # mesh_hit_kernel for the layout rationale). The whole walk is
@@ -710,6 +714,12 @@ def bounce_tiles(
     # reshape preserves value order, so outputs reshape back
     # transparently). Pools smaller than one (8, 1024) block keep the
     # (8, 128) layout — the MXU pass works at N = 128 too.
+    # resident-table gate: ~7.4 MB at 36 chunks (2304 tris) alongside
+    # the lane blocks; streamed beyond. fast2 streams regardless — its
+    # split/carry transients push the resident form past the 16 MB
+    # scoped-vmem limit (measured 18.48 MB, round-5 compile log).
+    _w_resident = (bool(mxu_chunks) and mxu_chunks <= 36
+                   and mxu_prec != "fast2")
     factor = SUBLANES if (mxu_chunks and rows % (SUBLANES * SUBLANES) == 0) else 1
     wide = LANES * factor
     rows_w = rows // factor
@@ -766,7 +776,13 @@ def bounce_tiles(
                 table(sbounds, pltpu.SMEM if sbounds.shape[0] <= 512 else pltpu.VMEM),
                 table(sgbounds, pltpu.SMEM if sgbounds.shape[0] <= 512 else pltpu.VMEM),
                 pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec(memory_space=pl.ANY),  # woop table: HBM, DMA-streamed
+                # woop table: VMEM-resident for small meshes (no DMA
+                # machinery), HBM + double-buffered DMA above the gate
+                (pl.BlockSpec(
+                    (woop.shape[0], 8), lambda i: (0, 0),
+                    memory_space=pltpu.VMEM,
+                 ) if _w_resident
+                 else pl.BlockSpec(memory_space=pl.ANY)),
                 smem(inst.shape),  # instance table (1, 24) dummy when off
             ]
         ),
@@ -779,10 +795,11 @@ def bounce_tiles(
             pltpu.VMEM((_W_ROWS * _W_CHUNK, 128), jnp.float32),
             pltpu.VMEM((_W_ROWS * _W_CHUNK, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
-        ] if mxu_chunks else []),
+        ] if (mxu_chunks and not _w_resident) else []),
         interpret=interpret,
     )(rsh(xs), rsh(ys), rsh(samp), *(rsh(a) for a in carry), *attr_args,
-      sph_table, ft_table, cam_vec, bounds, sbounds, sgbounds, tri, woop,
+      sph_table, ft_table, cam_vec, bounds, sbounds, sgbounds, tri,
+      woop[:, :8] if _w_resident else woop,  # resident: K=8 slice
       inst)
     if factor > 1:
         outs = [o.reshape(rows, LANES) for o in outs]

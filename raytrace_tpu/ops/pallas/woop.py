@@ -95,7 +95,12 @@ MAX_TRIS = 2560
 # K=4 -> near-oracle at K=6 (the RTPU_REFINE_BRUTE oracle measures 8
 # mismatch lanes vs exact mode's 26 — fast2's exact-MT hits agree with
 # the integrator BETTER than the 6-pass HIGHEST path does).
-K_CAND = 6
+K_CAND = 4
+# per-chunk candidate extractions (the dominant fast2 epilogue cost:
+# each is a full (CHUNK, N) min-reduction + mask): 2 catch the
+# silhouette junk-pair case; the FAR slot catches near-origin-cluster
+# displacement; global slots hold the best K_CAND-1 across chunks
+K_EXTRACT = 2
 # fast2 tolerance band: tau = TAU_C * (|o| + R_s) * 2^-17 on the
 # scaled (u_hat, v_hat) tests (scripts/proto_refine.py sweep: junk
 # admission scales with the band; true winners were never u/v-rejected
@@ -164,7 +169,17 @@ def pack_woop_table_np(v0, e1, e2):
     # (accumulating exact zeros).
     Af = np.zeros((n_chunks * ROWS_PER_TRI * CHUNK, 128), np.float32)
     Af[:, :8] = A.reshape(n_chunks * ROWS_PER_TRI * CHUNK, 8)
-    return Af, n_chunks, r_s
+    # fast2 precision gate: the tolerance band in BARYCENTRIC units is
+    # tau / s_i ~ tau * max(|W rows|, |biases|) per triangle; when the
+    # p99 band explodes, the mesh's scene-scale / triangle-scale
+    # dynamic range exceeds the bf16x2 budget and the candidate set
+    # floods with junk. Measured p99 bands at the production tau_c = 2:
+    # spaceship_r1 0.093 (fast2's measured knife-edge class, usable);
+    # biplane 220 (68% of bounce winners displaced in proto_refine —
+    # unusable). Threshold 0.3 separates the classes by >3x each way.
+    band = TAU_C * (2.0 * r_s) * (2.0 ** -17) * mag[ok] if ok.any() else mag[:0]
+    fast2_ok = bool(band.size == 0 or np.percentile(band, 99) < 0.3)
+    return Af, n_chunks, r_s, fast2_ok
 
 
 def _insert_cand(tks, gks, tc, gc):
@@ -189,6 +204,7 @@ def mxu_mesh_hit(
     ox, oy, oz, dx, dy, dz, woop_hbm, buf0, buf1, dsem,
     tt_o, gid_o, bu_o, bv_o, g4_o, g5_o, g6_o,
     *, n_chunks: int, prec: str, rs: float, nomesh=None,
+    resident: bool = False,
 ):
     """The in-kernel pass: rays as (8, N) block VALUES (N a multiple
     of 128 — the caller reshapes its lane arrays to (rows/8, 8*128)
@@ -204,9 +220,10 @@ def mxu_mesh_hit(
       classification this launch (their candidates already failed the
       exact re-test).
 
-    woop_hbm: HBM ref (n_chunks*7*CHUNK, 128), coefficients in lanes
-    0:8; buf0/buf1: (7*CHUNK, 128) VMEM scratch (double buffer); dsem:
-    DMA semaphores (2,)."""
+    woop_hbm: the (n_chunks*7*CHUNK, 128) table ref, coefficients in
+    lanes 0:8 — VMEM when `resident` (small meshes: no DMA machinery,
+    buf0/buf1/dsem are None), HBM otherwise with buf0/buf1 (7*CHUNK,
+    128) VMEM double-buffer scratch and dsem (2,) DMA semaphores."""
     sub, N = ox.shape
     assert sub == 8, ox.shape
     chunk = CHUNK
@@ -257,30 +274,42 @@ def mxu_mesh_hit(
     n_carry_per_row = 2 * K_CAND if fast else 4
 
     def chunk_work(ci, parity, carry):
-        dma(ci, parity).wait()
+        if resident:
+            # (7c, 8) slice of the VMEM-resident (rows, 8) table: the
+            # K = 8 matmul form (round-4 shape, bit-compatible)
+            A = woop_hbm[pl.ds(ci * rows, rows), :]
+        else:
+            dma(ci, parity).wait()
 
-        @pl.when(ci + 1 < n_chunks)
-        def _():
-            dma(ci + 1, 1 - parity).start()
+            @pl.when(ci + 1 < n_chunks)
+            def _():
+                dma(ci + 1, 1 - parity).start()
 
-        A = bufs[parity][...]  # (7c, 128), coefficients in lanes 0:8
+            A = bufs[parity][...]  # (7c, 128), coefficients in lanes 0:8
         if fast:
             Ah = A.astype(jnp.bfloat16)
             Al = (A - Ah.astype(jnp.float32)).astype(jnp.bfloat16)
         out = list(carry)
-        tile16 = lambda x: jnp.concatenate([x] * 16, axis=0)  # (128, N)
+        # streamed chunks are (7c, 128) for DMA lane alignment -> K =
+        # 128 against X tiled 16x (the LHS zero columns annihilate the
+        # repeats; K <= 128 costs the same systolic passes); resident
+        # tables keep the (7c, 8) K = 8 form
+        if A.shape[1] == 8:
+            expand = lambda x: x
+        else:
+            expand = lambda x: jnp.concatenate([x] * 16, axis=0)
         for r in range(8):
             if fast:
                 dot = lambda a, b: jax.lax.dot_general(
                     a, b, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.DEFAULT)
-                Xh = tile16(Xhs[r])
-                Xl = tile16(Xls[r])
+                Xh = expand(Xhs[r])
+                Xl = expand(Xls[r])
                 R = dot(Ah, Xh) + dot(Ah, Xl) + dot(Al, Xh)
             else:
                 R = jax.lax.dot_general(
-                    A, tile16(Xs[r]), (((1,), (0,)), ((), ())),
+                    A, expand(Xs[r]), (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST)  # (7c, N)
             oU, oV, oW = (R[0:chunk], R[chunk:2 * chunk],
@@ -314,9 +343,9 @@ def mxu_mesh_hit(
                     fbetter,
                     idxfmin + jnp.asarray(ci * chunk, jnp.float32), gf)
                 tf = jnp.where(fbetter, tfmin, tf)
-                # extract the chunk's K1 smallest, insert each into
-                # the running sorted top-K1
-                for _ in range(K1):
+                # extract the chunk's K_EXTRACT smallest, insert each
+                # into the running sorted top-K1
+                for _ in range(K_EXTRACT):
                     tmin = jnp.min(tm, axis=0, keepdims=True)
                     idx = jnp.where(tm == tmin, iota, float(chunk))
                     idxmin = jnp.min(idx, axis=0, keepdims=True)
@@ -354,19 +383,24 @@ def mxu_mesh_hit(
                 out[base:base + 4] = tb, gb, ub, vb
         return out
 
-    dma(0, 0).start()
-    # chunk-PAIR loop so the double-buffer parity is static inside the
-    # body; an odd trailing chunk runs statically after the loop
-    # (n_chunks is a python int)
-    n_pairs = n_chunks // 2
+    if resident:
+        carry = jax.lax.fori_loop(
+            0, n_chunks, lambda ci, c: chunk_work(ci, 0, c), carry0
+        )
+    else:
+        dma(0, 0).start()
+        # chunk-PAIR loop so the double-buffer parity is static inside
+        # the body; an odd trailing chunk runs statically after the
+        # loop (n_chunks is a python int)
+        n_pairs = n_chunks // 2
 
-    def pair_body(cj, carry):
-        carry = chunk_work(2 * cj, 0, carry)
-        return chunk_work(2 * cj + 1, 1, carry)
+        def pair_body(cj, carry):
+            carry = chunk_work(2 * cj, 0, carry)
+            return chunk_work(2 * cj + 1, 1, carry)
 
-    carry = jax.lax.fori_loop(0, n_pairs, pair_body, carry0)
-    if n_chunks % 2:
-        carry = chunk_work(n_chunks - 1, (n_chunks - 1) % 2, carry)
+        carry = jax.lax.fori_loop(0, n_pairs, pair_body, carry0)
+        if n_chunks % 2:
+            carry = chunk_work(n_chunks - 1, (n_chunks - 1) % 2, carry)
 
     for r in range(8):
         base = r * n_carry_per_row
@@ -382,9 +416,9 @@ def mxu_mesh_hit(
             gid_o[r:r + 1, :] = sel(g1).astype(jnp.int32)
             bu_o[r:r + 1, :] = sel(carry[base + K1 + 1])
             bv_o[r:r + 1, :] = sel(carry[base + K1 + 2])
-            g4_o[r:r + 1, :] = sel(carry[base + K1 + 3])
-            g5_o[r:r + 1, :] = sel(carry[base + K1 + 4])
-            g6_o[r:r + 1, :] = sel(carry[base + 2 * K1 + 1])  # far
+            g4_o[r:r + 1, :] = sel(carry[base + 2 * K1 + 1])  # far
+            g5_o[r:r + 1, :] = jnp.full((1, N), -1.0)
+            g6_o[r:r + 1, :] = jnp.full((1, N), -1.0)
         else:
             tb, gb, ub, vb = carry[base:base + 4]
             tt_o[r:r + 1, :] = tb

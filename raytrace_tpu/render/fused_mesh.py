@@ -589,9 +589,11 @@ def wavefront_mesh_fused(
     import os as _os
 
     if mxu_prec is None:
-        mxu_prec = _os.environ.get("RTPU_MXU_PREC", "fast2")
+        mxu_prec = _os.environ.get("RTPU_MXU_PREC", "exact")
+    # the pack-time precision gate overrides an unsafe fast2 opt-in
+    # (wide-dynamic-range meshes flood the candidate set — woop.py)
     fast2 = (scene.mxu_chunks > 0 and spl == 1 and not ab
-             and mxu_prec == "fast2")
+             and scene.mxu_fast2_ok and mxu_prec == "fast2")
     mxu_prec = "fast2" if fast2 else "exact"
 
     def resolve(m_t, md_t, mw_t):

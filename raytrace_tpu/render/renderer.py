@@ -528,13 +528,18 @@ class Renderer:
                     "RTPU_INKERNEL_SHADE", "1" if _iks_default else "0"
                 ) != "0"
             )
-            # MXU intersection mode: fast2 (3-pass bf16 candidates +
-            # exact-MT driver refine, round 5 default) or exact
-            # (6-pass HIGHEST). Resolved HERE, not at trace time — the
-            # module-level jit caches by static args, so an env read
-            # inside the traced function would bake the first caller's
-            # choice into every later renderer in the process.
-            self.mf_mxu_prec = os.environ.get("RTPU_MXU_PREC", "fast2")
+            # MXU intersection mode: exact (6-pass HIGHEST, default)
+            # or the opt-in fast2 candidate-refine (3-pass bf16 +
+            # exact-MT driver re-test). fast2 measured SLOWER end to
+            # end on v5e (1.65 vs 1.74 Mpaths/s spaceship_r1, round 5
+            # BENCH_NOTES) — the matmul is no longer the iteration
+            # bottleneck, so the refine-stage overhead eats the 3-pass
+            # saving; it stays available for study. Resolved HERE, not
+            # at trace time — the module-level jit caches by static
+            # args, so an env read inside the traced function would
+            # bake the first caller's choice into every later renderer
+            # in the process.
+            self.mf_mxu_prec = os.environ.get("RTPU_MXU_PREC", "exact")
             self._mxs = jnp.asarray((self._perm % self.width).astype(np.int32))
             self._mys = jnp.asarray((self._perm // self.width).astype(np.int32))
             sph_t, ft_t = tk.pack_scene_tables(self.scene)
