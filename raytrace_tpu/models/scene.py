@@ -431,6 +431,16 @@ def _try_build_instancing(model_members, mt, M, kw, scheme):
         w2 = v2[i * Ml:(i + 1) * Ml]
         inst[i, 12:15] = np.minimum(np.minimum(w0, w1), w2).min(axis=0)
         inst[i, 15:18] = np.maximum(np.maximum(w0, w1), w2).max(axis=0)
+        # gid base rides the row so the camera-distance sort below can
+        # permute instances without breaking the flattened indexing
+        inst[i, 18] = i * Ml
+    # front-to-back instance order (camera distance to AABB center):
+    # an early nearer-instance hit tightens tt for every later
+    # instance's root-AABB gate and slab tests
+    cam_o = np.asarray(scheme.cam.o, np.float64)
+    centers = (inst[:, 12:15] + inst[:, 15:18]) / 2.0
+    order = np.argsort(np.linalg.norm(centers - cam_o, axis=1))
+    inst = inst[order]
 
     return dict(
         mk_bounds=mkb, mk_sbounds=mks, mk_sgbounds=mksg, mk_tri=mkt,
@@ -618,8 +628,12 @@ def build_scene(scheme: Scheme, pad_mult: int = 2048, pad_small: int = 8) -> Sce
         _gate = int(_os.environ.get("RTPU_MXU_MAX_TRIS", str(_WOOP_MAX)))
         if (M <= _gate and not kw.get("n_inst")
                 and _os.environ.get("RTPU_MXU", "1") != "0"):
+            # table layout follows the requested precision mode: the
+            # default exact path uses the leaner 6-row table; the
+            # opt-in fast2 needs the 7-row scale-normalized one
             woop_tab, n_wchunks, w_rs, w_f2ok = pack_woop_table_np(
-                v0, v1 - v0, v2 - v0
+                v0, v1 - v0, v2 - v0,
+                fast2=_os.environ.get("RTPU_MXU_PREC") == "fast2",
             )
             kw.update(mk_woop=woop_tab, mxu_chunks=n_wchunks, mxu_rs=w_rs,
                       mxu_fast2_ok=w_f2ok)

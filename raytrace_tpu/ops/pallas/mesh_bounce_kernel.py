@@ -116,8 +116,8 @@ def _kernel(
     sgroup: int, width: int,
     has_lens: bool, assured: int, max_bounces: int, spl: int,
     queue: bool, hints: SceneHints, mxu_chunks: int = 0,
-    mxu_prec: str = "exact", mxu_rs: float = 1.0,
-    n_inst: int = 0, inst_tris: int = 0,
+    mxu_prec: str = "exact", mxu_rs: float = 1.0, mxu_rpt: int = 7,
+    n_inst: int = 0, inst_tris: int = 0, mesh_resident: bool = False,
     inkernel_shade: bool = False,
 ):
     xs = xs_ref[...].astype(jnp.float32)
@@ -357,7 +357,7 @@ def _kernel(
                      n_chunks=mxu_chunks,
                      prec=("fast2" if fast2 else "exact"), rs=mxu_rs,
                      nomesh=nomesh if fast2 else None,
-                     resident=not mxu_scratch)
+                     resident=not mxu_scratch, rpt=mxu_rpt)
 
     # ---- mesh closest hit: supercluster DMA streaming (see
     # mesh_hit_kernel for the layout rationale). The whole walk is
@@ -415,15 +415,25 @@ def _kernel(
                         dma_sem.at[cl],
                     )
 
-                for cl in range(group):  # static unroll
-                    @pl.when(reaches[cl])
-                    def _(cl=cl):
-                        cl_copy(cl).start()
+                if not mesh_resident:
+                    for cl in range(group):  # static unroll
+                        @pl.when(reaches[cl])
+                        def _(cl=cl):
+                            cl_copy(cl).start()
 
                 for cl in range(group):  # static unroll
                     def row_body(w8, _, base=cl * rows_per_cluster):
                         for k in range(8):  # static: lane index stays static
-                            tr = lambda j: tri_vmem[base + w8, k * TRI_COLS + j]
+                            if mesh_resident:
+                                # small instanced assets: the whole tri
+                                # table is VMEM-resident (<= ~1 MB), so
+                                # the per-instance walk re-reads shared
+                                # clusters with no repeated DMA
+                                tr = lambda j: tri_hbm[
+                                    sI, base + w8, k * TRI_COLS + j]
+                            else:
+                                tr = lambda j: tri_vmem[
+                                    base + w8, k * TRI_COLS + j]
                             e1x, e1y, e1z = tr(3), tr(4), tr(5)
                             e2x, e2y, e2z = tr(6), tr(7), tr(8)
                             pvx = dy * e2z - dz * e2y
@@ -458,7 +468,8 @@ def _kernel(
 
                     @pl.when(reaches[cl])
                     def _(row_body=row_body, cl=cl):
-                        cl_copy(cl).wait()
+                        if not mesh_resident:
+                            cl_copy(cl).wait()
                         jax.lax.fori_loop(0, rows_per_cluster, row_body, 0)
 
             return 0
@@ -521,8 +532,7 @@ def _kernel(
                 dxl = g(0) * dx + g(1) * dy + g(2) * dz
                 dyl = g(3) * dx + g(4) * dy + g(5) * dz
                 dzl = g(6) * dx + g(7) * dy + g(8) * dz
-                mesh_walk(oxl, oyl, ozl, dxl, dyl, dzl,
-                          (ii * inst_tris).astype(jnp.float32))
+                mesh_walk(oxl, oyl, ozl, dxl, dyl, dzl, g(18))
 
             return 0
 
@@ -720,6 +730,13 @@ def bounce_tiles(
     # scoped-vmem limit (measured 18.48 MB, round-5 compile log).
     _w_resident = (bool(mxu_chunks) and mxu_chunks <= 36
                    and mxu_prec != "fast2")
+    # rows per triangle from the packed table shape: 6 (exact layout)
+    # or 7 (fast2's scale-normalized layout with the S row)
+    _w_rpt = (woop.shape[0] // (_W_CHUNK * mxu_chunks)) if mxu_chunks else 7
+    # instanced assets with small tri tables skip the per-instance
+    # cluster DMA entirely (the shared table would re-stream once per
+    # reached instance otherwise)
+    _m_resident = bool(n_inst) and tri.size * 4 <= (2 << 20)
     factor = SUBLANES if (mxu_chunks and rows % (SUBLANES * SUBLANES) == 0) else 1
     wide = LANES * factor
     rows_w = rows // factor
@@ -746,7 +763,8 @@ def bounce_tiles(
         width=width, has_lens=has_lens, assured=assured,
         max_bounces=max_bounces, spl=spl, queue=queue, hints=hints,
         mxu_chunks=mxu_chunks, mxu_prec=mxu_prec, mxu_rs=mxu_rs,
-        n_inst=n_inst, inst_tris=inst_tris,
+        mxu_rpt=_w_rpt,
+        n_inst=n_inst, inst_tris=inst_tris, mesh_resident=_m_resident,
         inkernel_shade=inkernel_shade,
     )
     if inkernel_shade:
@@ -775,7 +793,8 @@ def bounce_tiles(
                 table(bounds, bounds_space),
                 table(sbounds, pltpu.SMEM if sbounds.shape[0] <= 512 else pltpu.VMEM),
                 table(sgbounds, pltpu.SMEM if sgbounds.shape[0] <= 512 else pltpu.VMEM),
-                pl.BlockSpec(memory_space=pl.ANY),
+                (table(tri, pltpu.VMEM) if _m_resident
+                 else pl.BlockSpec(memory_space=pl.ANY)),
                 # woop table: VMEM-resident for small meshes (no DMA
                 # machinery), HBM + double-buffered DMA above the gate
                 (pl.BlockSpec(
@@ -792,8 +811,8 @@ def bounce_tiles(
             pltpu.VMEM((GROUP * (width // 8), 8 * TRI_COLS), jnp.float32),
             pltpu.SemaphoreType.DMA((GROUP,)),
         ] + ([
-            pltpu.VMEM((_W_ROWS * _W_CHUNK, 128), jnp.float32),
-            pltpu.VMEM((_W_ROWS * _W_CHUNK, 128), jnp.float32),
+            pltpu.VMEM((_w_rpt * _W_CHUNK, 128), jnp.float32),
+            pltpu.VMEM((_w_rpt * _W_CHUNK, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ] if (mxu_chunks and not _w_resident) else []),
         interpret=interpret,

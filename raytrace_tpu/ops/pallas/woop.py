@@ -33,11 +33,17 @@ error of a low-precision pass in (u_hat, v_hat) is uniform
 exists that admits every true hit while keeping the junk band
 geometrically thin (scripts/proto_refine.py measurements).
 
-Storage: the table lives in HBM and streams through a double-buffered
-VMEM scratch, one chunk (7*CHUNK rows x 8) per DMA (~14 KB) — the
-round-4 VMEM-resident table padded its 8-wide minor dim to 128 lanes
-(16x waste) and capped the pass at 2,560 triangles; streaming removes
-the cap (VERDICT round-4 item 2).
+Storage: small meshes (<= 36 chunks) keep the table VMEM-resident in
+the round-4 (rows, 8) K=8 matmul form; larger ones store it in HBM
+with the minor dim zero-padded to 128 lanes (HBM refs are
+(1, 128)-tiled, so DMA slices must be lane-aligned) and stream it
+through a double-buffered VMEM scratch, the matmul running K=128
+against X tiled 16x (zero columns annihilate the repeats; K <= 128
+costs the same systolic passes). Streaming removes the round-4
+2,560-triangle VMEM cap (VERDICT item 2) — though the one scene class
+past the cap that was measured (biplane, 7,316 tris) LOSES to the
+cluster walk 1.20 vs 4.56 Mpaths/s: brute force pays every lane while
+sky-dominated scenes cull (BENCH_NOTES round 5).
 
 Modes (static `prec` on the kernel, replacing the round-4
 RTPU_MXU_PREC env global so tests can exercise both):
@@ -50,7 +56,7 @@ RTPU_MXU_PREC env global so tests can exercise both):
     (K = 4) candidates by fast t. The kernel then classifies a lane
     mesh-pending iff a candidate's fast t could beat the sphere/
     free-tri best (margin MARGIN_REL*t + MARGIN_ABS), and the DRIVER
-    re-tests just those <= 4 candidates with exact f32
+    re-tests just those candidates with exact f32
     Moller-Trumbore (a cheap XLA row gather, render/fused_mesh.py
     _refine_pend) — exact-MT hit results (bit-matching the XLA
     integrator's _triangle_t, BETTER parity than "exact" mode) at
@@ -120,13 +126,18 @@ MARGIN_REL = 1.0 / 64.0
 MARGIN_ABS = 1e-3
 
 
-def pack_woop_table_np(v0, e1, e2):
+def pack_woop_table_np(v0, e1, e2, fast2: bool = False):
     """Triangle arrays ((M, 3) each, global order) ->
-    (woop (n_chunks*7*CHUNK, 8) f32 for HBM, n_chunks, r_s).
-    Rows of chunk ci are grouped by component:
-    [U_o | V_o | W_o | U_d | V_d | W_d | S] x CHUNK. Degenerate and
-    padding triangles get all-zero rows (d'w = 0 -> rejected by the
-    det guard). r_s = max vertex norm (the fast2 tau scale)."""
+    (woop table f32, n_chunks, r_s, fast2_ok).
+    Rows of chunk ci are grouped by component. Two layouts:
+      fast2=False (default, exact mode): SIX unnormalized rows
+        [U_o|V_o|W_o|U_d|V_d|W_d] x CHUNK, minor dim 8 — the round-4
+        form (validity u,v in [0,1] directly; one less matmul row).
+      fast2=True: SEVEN scale-normalized rows (+ the S bias row) with
+        minor dim zero-padded to 128 for the HBM DMA stream.
+    Degenerate and padding triangles get all-zero rows (d'w = 0 ->
+    rejected by the det guard). r_s = max vertex norm (the fast2 tau
+    scale)."""
     v0 = np.asarray(v0, np.float64)
     e1 = np.asarray(e1, np.float64)
     e2 = np.asarray(e2, np.float64)
@@ -149,15 +160,21 @@ def pack_woop_table_np(v0, e1, e2):
     s = np.where(ok, s, 0.0)
 
     n_chunks = Tp // CHUNK
-    A = np.zeros((Tp, ROWS_PER_TRI, 8), np.float64)
-    A[:M, 0:2, 0:3] = inv[:, 0:2] * s[:, None, None]
-    A[:M, 0:2, 3] = b[:, 0:2] * s[:, None]
+    rpt = ROWS_PER_TRI if fast2 else 6
+    A = np.zeros((Tp, rpt, 8), np.float64)
+    if fast2:
+        A[:M, 0:2, 0:3] = inv[:, 0:2] * s[:, None, None]
+        A[:M, 0:2, 3] = b[:, 0:2] * s[:, None]
+        A[:M, 3:5, 4:7] = inv[:, 0:2] * s[:, None, None]
+        A[:M, 6, 3] = s
+    else:
+        A[:M, 0:2, 0:3] = inv[:, 0:2]
+        A[:M, 0:2, 3] = b[:, 0:2]
+        A[:M, 3:5, 4:7] = inv[:, 0:2]
     A[:M, 2, 0:3] = inv[:, 2]
     A[:M, 2, 3] = b[:, 2]
-    A[:M, 3:5, 4:7] = inv[:, 0:2] * s[:, None, None]
     A[:M, 5, 4:7] = inv[:, 2]
-    A[:M, 6, 3] = s
-    A = A.reshape(n_chunks, CHUNK, ROWS_PER_TRI, 8).transpose(0, 2, 1, 3)
+    A = A.reshape(n_chunks, CHUNK, rpt, 8).transpose(0, 2, 1, 3)
     verts = np.concatenate([v0, v0 + e1, v0 + e2], axis=0)
     r_s = float(np.linalg.norm(verts, axis=1).max()) if M else 1.0
     # minor dim zero-padded 8 -> 128: HBM refs are (1, 128)-tiled, so
@@ -167,8 +184,8 @@ def pack_woop_table_np(v0, e1, e2):
     # same systolic passes either way (the MXU is 128 deep), so the
     # padding is time-neutral and keeps exact-mode bit-compat
     # (accumulating exact zeros).
-    Af = np.zeros((n_chunks * ROWS_PER_TRI * CHUNK, 128), np.float32)
-    Af[:, :8] = A.reshape(n_chunks * ROWS_PER_TRI * CHUNK, 8)
+    Af = np.zeros((n_chunks * rpt * CHUNK, 128), np.float32)
+    Af[:, :8] = A.reshape(n_chunks * rpt * CHUNK, 8)
     # fast2 precision gate: the tolerance band in BARYCENTRIC units is
     # tau / s_i ~ tau * max(|W rows|, |biases|) per triangle; when the
     # p99 band explodes, the mesh's scene-scale / triangle-scale
@@ -179,6 +196,15 @@ def pack_woop_table_np(v0, e1, e2):
     # unusable). Threshold 0.3 separates the classes by >3x each way.
     band = TAU_C * (2.0 * r_s) * (2.0 ** -17) * mag[ok] if ok.any() else mag[:0]
     fast2_ok = bool(band.size == 0 or np.percentile(band, 99) < 0.3)
+    if not fast2:
+        # exact layout: (6*Tp, 8), VMEM-resident or DMA via 128-wide
+        # repack below only when streamed
+        A8 = A.reshape(n_chunks * 6 * CHUNK, 8).astype(np.float32)
+        if n_chunks > 36:
+            Af6 = np.zeros((n_chunks * 6 * CHUNK, 128), np.float32)
+            Af6[:, :8] = A8
+            return Af6, n_chunks, r_s, fast2_ok
+        return A8, n_chunks, r_s, fast2_ok
     return Af, n_chunks, r_s, fast2_ok
 
 
@@ -204,7 +230,7 @@ def mxu_mesh_hit(
     ox, oy, oz, dx, dy, dz, woop_hbm, buf0, buf1, dsem,
     tt_o, gid_o, bu_o, bv_o, g4_o, g5_o, g6_o,
     *, n_chunks: int, prec: str, rs: float, nomesh=None,
-    resident: bool = False,
+    resident: bool = False, rpt: int = ROWS_PER_TRI,
 ):
     """The in-kernel pass: rays as (8, N) block VALUES (N a multiple
     of 128 — the caller reshapes its lane arrays to (rows/8, 8*128)
@@ -227,8 +253,9 @@ def mxu_mesh_hit(
     sub, N = ox.shape
     assert sub == 8, ox.shape
     chunk = CHUNK
-    rows = ROWS_PER_TRI * chunk
+    rows = rpt * chunk
     fast = prec == "fast2"
+    assert not fast or rpt == ROWS_PER_TRI, (rpt, prec)
     one = jnp.ones((1, N), jnp.float32)
     zero = jnp.zeros((1, N), jnp.float32)
     iota = jax.lax.broadcasted_iota(jnp.int32, (chunk, N), 0).astype(jnp.float32)
@@ -316,7 +343,7 @@ def mxu_mesh_hit(
                           R[2 * chunk:3 * chunk])
             dU, dV, dW = (R[3 * chunk:4 * chunk], R[4 * chunk:5 * chunk],
                           R[5 * chunk:6 * chunk])
-            S = R[6 * chunk:7 * chunk]
+            S = R[6 * chunk:7 * chunk] if rpt == 7 else None
             okw = jnp.abs(dW) >= EPS  # == the MT det guard
             invw = 1.0 / jnp.where(okw, dW, 1.0)
             t = -oW * invw
@@ -359,18 +386,26 @@ def mxu_mesh_hit(
                 out[base + K1:base + 2 * K1] = gks
                 out[base + 2 * K1], out[base + 2 * K1 + 1] = tf, gf
             else:
-                valid = (okw & (u >= 0.0) & (v >= 0.0) & (u + v <= S)
-                         & (t >= EPS))
+                if rpt == 7:
+                    valid = (okw & (u >= 0.0) & (v >= 0.0) & (u + v <= S)
+                             & (t >= EPS))
+                else:
+                    # 6-row unnormalized table: u,v ARE barycentric
+                    valid = (okw & (u >= 0.0) & (u <= 1.0) & (v >= 0.0)
+                             & (u + v <= 1.0) & (t >= EPS))
                 tm = jnp.where(valid, t, INF)
                 tmin = jnp.min(tm, axis=0, keepdims=True)
                 idx = jnp.where(tm == tmin, iota, float(chunk))
                 idxmin = jnp.min(idx, axis=0, keepdims=True)
                 sel = iota == idxmin  # unique row -> masked-sum select
-                # u_hat/s with s a power of two: exact, bit-equal to
-                # the unscaled round-4 formulation
-                invS = 1.0 / jnp.maximum(S, 1e-30)
-                uu = u * invS
-                vv = v * invS
+                if rpt == 7:
+                    # u_hat/s with s a power of two: exact, bit-equal
+                    # to the unscaled round-4 formulation
+                    invS = 1.0 / jnp.maximum(S, 1e-30)
+                    uu = u * invS
+                    vv = v * invS
+                else:
+                    uu, vv = u, v
                 usel = jnp.sum(jnp.where(sel, uu, 0.0), axis=0, keepdims=True)
                 vsel = jnp.sum(jnp.where(sel, vv, 0.0), axis=0, keepdims=True)
                 tb, gb, ub, vb = out[base:base + 4]

@@ -43,8 +43,9 @@ from .integrator import (
 
 def _refine_pend(scene, carry, hitc, sel=None):
     """Exact-MT re-test of the fast2 MXU candidates (ops/pallas/woop.py
-    mode "fast2": hitc = (g1, t_sph, g2, g3, g4), candidate gids as
-    ints/floats, -1 = none) for the (selected) mesh-pending lanes.
+    mode "fast2": hitc = (g1, t_sph, g2, g3, g4, g5, g6), candidate
+    gids as ints/floats, -1 = none — slots above K_CAND stay -1) for
+    the (selected) mesh-pending lanes.
 
     Winners — lanes where some candidate's exact f32 Moller-Trumbore
     hit beats the carried sphere/free-tri best — get their exact
@@ -591,9 +592,12 @@ def wavefront_mesh_fused(
     if mxu_prec is None:
         mxu_prec = _os.environ.get("RTPU_MXU_PREC", "exact")
     # the pack-time precision gate overrides an unsafe fast2 opt-in
-    # (wide-dynamic-range meshes flood the candidate set — woop.py)
+    # (wide-dynamic-range meshes flood the candidate set — woop.py);
+    # fast2 also needs the 7-row table layout (built when the env was
+    # set at scene-build time)
     fast2 = (scene.mxu_chunks > 0 and spl == 1 and not ab
-             and scene.mxu_fast2_ok and mxu_prec == "fast2")
+             and scene.mxu_fast2_ok and mxu_prec == "fast2"
+             and scene.mk_woop.shape[0] == scene.mxu_chunks * 7 * 64)
     mxu_prec = "fast2" if fast2 else "exact"
 
     def resolve(m_t, md_t, mw_t):

@@ -2,7 +2,7 @@
 round-3 ask 8): biplane and spaceship_r1 through the production hybrid
 driver at the Renderer's own configuration (shade mode picked by
 _mesh_coverage, default pool/cw/spl), each emitting one JSON record
-into BENCH_SCENES_r04.json so round-over-round comparisons stop
+into BENCH_SCENES_r05.json so round-over-round comparisons stop
 depending on prose.
 
     python scripts/bench_scenes.py [biplane spaceship_r1 ...]
@@ -31,7 +31,7 @@ REF = {
 }
 DEFAULT_SPP = {"biplane": 64, "spaceship_r1": 16}
 ART = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                   "BENCH_SCENES_r04.json")
+                   "BENCH_SCENES_r05.json")
 
 
 def bench_scheme(name: str) -> dict:

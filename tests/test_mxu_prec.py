@@ -20,12 +20,21 @@ from raytrace_tpu.render.renderer import sample_batch
 
 @pytest.fixture(scope="module")
 def setup():
-    return T._setup()
+    # the table LAYOUT follows the precision mode at scene-build time:
+    # build with the fast2 env so the 7-row table exists (drivers
+    # silently fall back to exact against a 6-row table)
+    os.environ["RTPU_MXU_PREC"] = "fast2"
+    try:
+        return T._setup()
+    finally:
+        os.environ.pop("RTPU_MXU_PREC")
 
 
 def _run(setup, prec):
     scheme, scene, camera, cam, xs, ys, params, tables, hints, cam_vec = setup
     assert scene.mxu_chunks > 0 and scene.mxu_fast2_ok
+    assert scene.mk_woop.shape[0] == scene.mxu_chunks * 7 * 64, \
+        "fast2 tests need the 7-row table"
     out = fm.wavefront_mesh_fused(
         tables, cam_vec, scene, cam, params, T.W, T.H, xs, ys,
         jnp.int32(0), jnp.int32(2), pool=1024, has_lens=False,
