@@ -1,11 +1,13 @@
 """Video encode for animation frames.
 
 The reference encodes PNG frames to H.264/mp4 with OpenH264 + minimp4
-(main.rs:58-97). This image has no H.264 encoder (no ffmpeg binary, no
-pyav), so the default backend is a self-contained MJPEG-in-AVI writer
-(RIFF container + JPEG frames via PIL) — playable by every mainstream
-player. When an imageio ffmpeg backend IS available (other machines),
-`encode_mp4` uses it.
+(main.rs:58-97). Backend ladder for `encode_mp4`:
+  1. imageio/ffmpeg when present (H.264 mp4 — other machines);
+  2. OpenCV VideoWriter with its built-in MPEG-4 codec + mp4 muxer
+     (round 5: a REAL .mp4 this image can produce and read back —
+     cv2 needs no external ffmpeg for fourcc "mp4v");
+  3. the self-contained MJPEG-in-AVI writer below (RIFF container +
+     JPEG frames via PIL) as the last resort.
 """
 from __future__ import annotations
 
@@ -75,8 +77,30 @@ def write_mjpeg_avi(path: str, frames: Iterable[np.ndarray], fps: float, quality
         f.write(b"RIFF" + struct.pack("<I", len(riff_payload)) + riff_payload)
 
 
+def write_mp4_cv2(path: str, frames: List[np.ndarray], fps: float):
+    """Real .mp4 via OpenCV's bundled MPEG-4 encoder + muxer (no
+    external ffmpeg). Raises if cv2 is absent or refuses the codec."""
+    import cv2
+
+    h, w = frames[0].shape[:2]
+    writer = cv2.VideoWriter(
+        path, cv2.VideoWriter_fourcc(*"mp4v"), float(fps), (w, h)
+    )
+    if not writer.isOpened():
+        raise RuntimeError("cv2 VideoWriter could not open mp4v output")
+    try:
+        for f in frames:
+            writer.write(f[:, :, 2::-1])  # RGB -> BGR
+    finally:
+        writer.release()
+    import os
+
+    if not os.path.getsize(path):
+        raise RuntimeError("cv2 wrote an empty mp4")
+
+
 def encode_mp4(path: str, frames: Iterable[np.ndarray], fps: float) -> str:
-    """Encode to mp4 if an imageio backend exists, else fall back to
+    """Encode to mp4 (imageio/ffmpeg, then OpenCV mp4v); fall back to
     MJPEG AVI next to the requested path. Returns the path written."""
     frames = list(frames)
     try:
@@ -86,6 +110,11 @@ def encode_mp4(path: str, frames: Iterable[np.ndarray], fps: float) -> str:
         for f in frames:
             writer.append_data(f)
         writer.close()
+        return path
+    except Exception:
+        pass
+    try:
+        write_mp4_cv2(path, frames, fps)
         return path
     except Exception:
         alt = path.rsplit(".", 1)[0] + ".avi"

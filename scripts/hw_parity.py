@@ -56,11 +56,16 @@ CONFIGS = [
     ("biplane/defer", "biplane", (304, 152), 8, {}),
     ("walled/fused", "walled", (304, 152), 32, {}),
 ]
-# mean-image and 8x8-tile-mean thresholds (per channel, absolute):
-# healthy runs measure ~1e-5 / ~1e-3; the round-4 denormal bug class
-# moves channel means by ~0.1
+# mean-image threshold (per channel, absolute): healthy runs measure
+# ~1e-5 to 1e-3; the round-4 denormal bug class moves channel means by
+# ~0.1. The tile criterion is a bad-tile FRACTION: a single legitimate
+# knife-edge path flip with RR-boosted radiance moves one 8x8 tile's
+# mean by ~0.1 at 8 spp (biplane measured 1 tile at 0.094 on a healthy
+# run), so the gate fails only when >2% of tiles diverge — hardware
+# corruption is image-wide, per-path knife edges are isolated.
 MEAN_TOL = 2e-3
 TILE_TOL = 6e-2
+TILE_BAD_FRAC = 0.02
 
 
 def _render(name, scheme_name, wh, spp, env, oracle):
@@ -120,14 +125,18 @@ def main():
         img = _render(name, scheme_name, wh, spp, env, oracle=False)
         ref = oracles[key]
         mean_d = float(np.abs(img.mean(axis=(0, 1)) - ref.mean(axis=(0, 1))).max())
-        tile_d = float(np.abs(tile_means(img) - tile_means(ref)).max())
-        ok = mean_d < MEAN_TOL and tile_d < TILE_TOL
+        td = np.abs(tile_means(img) - tile_means(ref)).max(axis=-1)
+        tile_d = float(td.max())
+        bad_frac = float((td > TILE_TOL).mean())
+        ok = mean_d < MEAN_TOL and bad_frac < TILE_BAD_FRAC
         ok_all &= ok
         results[name] = {
             "mean_diff": round(mean_d, 8), "tile_max_diff": round(tile_d, 6),
+            "bad_tile_frac": round(bad_frac, 5),
             "pass": bool(ok), "seconds": round(time.time() - t0, 1),
         }
         print(f"[{name}] mean|d| {mean_d:.2e} tile max|d| {tile_d:.2e} "
+              f"bad-tiles {bad_frac:.2%} "
               f"{'PASS' if ok else 'FAIL'} ({results[name]['seconds']}s)",
               flush=True)
 

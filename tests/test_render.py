@@ -315,6 +315,20 @@ def test_encode_mp4_or_fallback(tmp_path):
     else:
         assert got.endswith(".avi")
         assert head[:4] == b"RIFF" and head[8:12] == b"AVI ", head
+    try:
+        import cv2
+    except ImportError:
+        cv2 = None
+    if cv2 is not None:
+        # with OpenCV present (this image), real mp4 output is REQUIRED
+        # (round 5: cv2's bundled MPEG-4 encoder needs no ffmpeg) and
+        # must round-trip through a decoder
+        assert got.endswith(".mp4"), got
+        cap = cv2.VideoCapture(got)
+        n = 0
+        while cap.read()[0]:
+            n += 1
+        assert n == len(frames), n
 
 
 def test_render_exact_sample_count_all_drivers():
