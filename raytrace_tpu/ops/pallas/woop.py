@@ -97,10 +97,10 @@ ROWS_PER_TRI = 7
 MAX_TRIS = 2560
 # fast2 candidates per ray: top-(K_CAND-1) by fast t + 1 far slot.
 # Real-path coverage on the test scene (scripts/debug_fast2.py,
-# wavefront vs integrator, 4096 px x 2 spp): winner-missed lanes 42 at
-# K=4 -> near-oracle at K=6 (the RTPU_REFINE_BRUTE oracle measures 8
-# mismatch lanes vs exact mode's 26 — fast2's exact-MT hits agree with
-# the integrator BETTER than the 6-pass HIGHEST path does).
+# wavefront vs integrator, 4096 px x 2 spp): winner-missed lanes ~41
+# at K=4 AND K=6 (K-insensitive — the misses are grazing/near-EPS
+# precision classes, not rank overflow), vs the RTPU_REFINE_BRUTE
+# oracle's 8 and exact mode's own 26, so K stays at the cheaper 4.
 K_CAND = 4
 # per-chunk candidate extractions (the dominant fast2 epilogue cost:
 # each is a full (CHUNK, N) min-reduction + mask): 2 catch the

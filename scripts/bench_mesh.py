@@ -322,7 +322,7 @@ def main():
 
     art_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "BENCH_SCENES_r04.json")
+        "BENCH_SCENES_r05.json")
     art = {}
     if os.path.exists(art_path):
         with open(art_path) as f:
