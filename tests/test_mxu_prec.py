@@ -72,6 +72,24 @@ def test_mxu_exact_parity(setup):
     assert md.max() < 8e-3, f"channel means off {md}"
 
 
+def test_mxu_fast2_defer_shade_path(setup):
+    """fast2 through the FIXED-WIDTH defer shade (_pend_shade_defer's
+    compacted refine branch, cw < pool): same class of agreement with
+    the dense-shade fast2 result — only the iteration at which a
+    bounce completes moves, not its draws."""
+    scheme, scene, camera, cam, xs, ys, params, tables, hints, cam_vec = setup
+    kw = dict(pool=1024, has_lens=False, hints=hints, interpret=True,
+              python_loop=True, mxu_prec="fast2")
+    dense = np.asarray(fm.wavefront_mesh_fused(
+        tables, cam_vec, scene, cam, params, T.W, T.H, xs, ys,
+        jnp.int32(0), jnp.int32(1), **kw))
+    defer = np.asarray(fm.wavefront_mesh_fused(
+        tables, cam_vec, scene, cam, params, T.W, T.H, xs, ys,
+        jnp.int32(0), jnp.int32(1), shade_width=512, **kw))
+    assert np.allclose(dense, defer, rtol=1e-5, atol=1e-6), (
+        np.abs(dense - defer).max())
+
+
 def test_fast2_gate_rejects_wide_dynamic_range():
     """The pack-time precision gate: a mesh whose scene-scale /
     triangle-scale ratio exceeds the bf16x2 budget (the biplane class:
