@@ -10,9 +10,14 @@ Lanes whose nearest hit is a MESH triangle cannot finish in-kernel —
 their surface attributes live behind per-lane gathers (the packed
 48-col attribute row and up to nine texel fetches from the flat texture
 pool) that Mosaic cannot issue — so the kernel marks them "pending"
-(flag = 2) and emits (gid, t, u, v); the XLA driver
-(render/fused_mesh.py) completes those bounces with compacted gathers
-and hands the lanes back ready for the next call.
+(flag = 2) and emits (gid, t, u, v) (or, in the opt-in fast2 MXU mode,
+the candidate set (g1, t_sph, g2, g3, g4) for the driver's exact
+re-test; a re-submitted no-winner lane carries sk = 1 as a one-launch
+"no mesh" marker); the XLA driver (render/fused_mesh.py) completes
+those bounces with compacted gathers and hands the lanes back ready
+for the next call. Scenes that are n_inst copies of ONE asset walk
+shared ASSET-LOCAL tables once per instance, front-to-back, with the
+rays transformed into the instance frame (round 5).
 
 Why this shape wins on TPU (BENCH_NOTES round 1): the wavefront XLA
 bounce step paid ~43 ms per 128k-lane iteration in bounce-step
