@@ -110,3 +110,79 @@ def test_fast2_gate_rejects_wide_dynamic_range():
     # and a compact mesh is safe
     _, _, rs2, ok2 = pack_woop_table_np(v0 / 1000.0, e1 * 10, e2 * 10)
     assert ok2
+
+
+def test_streamed_exact_table_matches_numpy():
+    """The HBM-streamed exact path (> 36 chunks: 6-row table, 128-wide
+    DMA chunks, K=128 matmul, ODD chunk count exercising the trailing
+    chunk after the pair loop) against brute-force numpy
+    Moller-Trumbore. No renderer covers this layout on CPU (small
+    meshes stay VMEM-resident), so it gets a direct kernel test."""
+    import functools
+
+    import jax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    import raytrace_tpu.ops.pallas.woop as woop
+
+    rng = np.random.default_rng(3)
+    M = 40 * 64 + 17  # 41 chunks (odd, > resident gate)
+    v0 = rng.normal(size=(M, 3)) * 2
+    e1 = rng.normal(size=(M, 3)) * 0.3
+    e2 = rng.normal(size=(M, 3)) * 0.3
+    tab, n_chunks, rs, _ = woop.pack_woop_table_np(v0, e1, e2, fast2=False)
+    rpt = tab.shape[0] // (64 * n_chunks)
+    assert (n_chunks, rpt, tab.shape[1]) == (41, 6, 128)
+
+    N = 1024
+    o = rng.normal(size=(N, 3)) * 4
+    d = rng.normal(size=(N, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+
+    def kern(ox, oy, oz, dx, dy, dz, whbm, tt, gid, bu, bv, g4, g5, g6,
+             b0, b1, sem, *, n_chunks, rs, rpt):
+        tt[...] = jnp.full_like(tt[...], woop.INF)
+        woop.mxu_mesh_hit(
+            ox[...], oy[...], oz[...], dx[...], dy[...], dz[...],
+            whbm, b0, b1, sem, tt, gid, bu, bv, g4, g5, g6,
+            n_chunks=n_chunks, prec="exact", rs=rs, rpt=rpt)
+
+    f = pl.pallas_call(
+        functools.partial(kern, n_chunks=n_chunks, rs=rs, rpt=rpt),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6
+        + [pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
+        out_shape=[jax.ShapeDtypeStruct((8, N), jnp.float32),
+                   jax.ShapeDtypeStruct((8, N), jnp.int32)]
+        + [jax.ShapeDtypeStruct((8, N), jnp.float32)] * 5,
+        scratch_shapes=[pltpu.VMEM((rpt * 64, 128), jnp.float32)] * 2
+        + [pltpu.SemaphoreType.DMA((2,))],
+        interpret=True,
+    )
+    mk = lambda col: jnp.broadcast_to(jnp.asarray(col, jnp.float32), (8, N))
+    tt, gid, _, _, _, _, _ = f(
+        mk(o[:, 0]), mk(o[:, 1]), mk(o[:, 2]),
+        mk(d[:, 0]), mk(d[:, 1]), mk(d[:, 2]), jnp.asarray(tab))
+
+    pv = np.cross(d[:, None, :], e2[None])
+    det = np.einsum("mk,rmk->rm", e1, pv)
+    okm = np.abs(det) >= 1e-4
+    inv = np.where(okm, 1.0 / np.where(okm, det, 1), 0)
+    h = o[:, None, :] - v0[None]
+    u = inv * np.einsum("rmk,rmk->rm", h, pv)
+    q = np.cross(h, e1[None])
+    v = inv * np.einsum("rmk,rmk->rm", np.broadcast_to(d[:, None, :], q.shape), q)
+    t = inv * np.einsum("mk,rmk->rm", e2, q)
+    okm = okm & (u >= 0) & (u <= 1) & (v >= 0) & (u + v <= 1) & (t >= 1e-4)
+    t = np.where(okm, t, np.inf)
+    i = np.argmin(t, 1)
+    rt = t[np.arange(N), i]
+    ri = np.where(np.isfinite(rt), i, -1)
+
+    gi = np.asarray(gid[0])
+    tv = np.asarray(tt[0])
+    both = (ri >= 0) & (gi >= 0)
+    assert ((ri >= 0) != (gi >= 0)).sum() == 0
+    assert (ri[both] != gi[both]).sum() == 0
+    assert np.abs(tv[both] - rt[both]).max() < 1e-4
