@@ -188,3 +188,31 @@ def test_instancing_image_matches_flattened(tmp_path):
     assert (mismatch > 1e-3).mean() < 0.012, f"{(mismatch > 1e-3).mean()}"
     md = np.abs(a.mean(0) - b.mean(0)) / (np.abs(a.mean(0)) + 1e-6)
     assert md.max() < 2e-2, f"channel means off {md}"
+
+
+def test_instancing_multidevice_matches_single(tmp_path):
+    """The instanced kernel tables through the spp-sharded multi-device
+    wrapper (renderer `_multi_step`) on the 8-CPU mesh vs
+    single-device — the one sharding x instancing combination nothing
+    else covers (mk_inst and the asset-local tables ride the scene
+    pytree into shard_map)."""
+    import jax
+
+    from raytrace_tpu.render.renderer import Renderer
+
+    devs = jax.devices()
+    assert len(devs) >= 8, "conftest must force 8 CPU devices"
+    gltf = _write_octahedron_gltf(str(tmp_path))
+    scheme = _scheme(gltf)
+    scene = build_scene(scheme, pad_mult=64)
+    assert scene.n_inst == 5
+    r1 = Renderer(scheme, scene=scene, devices=[devs[0]],
+                  use_mesh_fused=True, interpret=True)
+    assert r1.use_mesh_fused
+    img1 = r1.render(samples=8, batch=8, progress=False)
+    r8 = Renderer(scheme, scene=scene, devices=devs[:8],
+                  use_mesh_fused=True, interpret=True)
+    assert r8.use_mesh_fused and r8._mesh1d is not None
+    img8 = r8.render(samples=8, batch=8, progress=False)
+    assert img1.mean() > 0.003
+    np.testing.assert_allclose(img8, img1, rtol=2e-4, atol=2e-5)
