@@ -64,8 +64,6 @@ def main():
     print(f"fast2-only mismatches: {len(both)}: {sorted(both)[:20]}")
 
 
-if __name__ == "__main__":
-    main()
 
 
 def trace_pix(pix):
@@ -80,3 +78,7 @@ def trace_pix(pix):
             hints=hints, interpret=True, python_loop=True, mxu_prec=prec)
         print("pix radiance:", np.asarray(out)[pix])
         os.environ.pop("RTPU_DEBUG_PIX")
+
+
+if __name__ == "__main__":
+    main()
