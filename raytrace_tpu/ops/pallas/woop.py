@@ -12,7 +12,9 @@ trace.wgsl:664-667).
 
 Build (pack_woop_table_np): per triangle, the affine map to local
 coordinates (u, v, w) where p = v0 + u e1 + v e2 + w n, n = e1 x e2.
-SEVEN rows per triangle against the per-ray column
+The default exact layout is SIX unnormalized rows (u,v tested against
+[0, 1] directly — one less matmul row); the fast2 layout is SEVEN
+scale-normalized rows against the per-ray column
 X = [ox oy oz 1 dx dy dz 0]:
 
   0: U_o = s*(Wu.o + bu)    3: U_d = s*(Wu.d)
@@ -65,18 +67,21 @@ RTPU_MXU_PREC env global so tests can exercise both):
     with a one-launch "no mesh" marker (sk carry = 1) and shade
     sphere/free-tri/miss in-kernel on the next launch.
 
-    Residual error class (scripts/proto_refine.py, 65,536 rays vs
-    float64 brute force, spaceship_r1): the exact winner can be
-    displaced from the top-4 by >= 4 nearer junk candidates (grazing
-    planes inside the tolerance band) — measured rates are in
-    BENCH_NOTES round 5; every surviving candidate's (t, u, v, gid)
-    is exact.
+    Residual error class: the exact winner can be missing from the
+    candidate set on grazing / near-EPS knife edges (measured
+    ~41/4096-px lanes vs exact mode's own 26 on real paths, and 8
+    with oracle candidates — scripts/debug_fast2.py); every surviving
+    candidate's (t, u, v, gid) is exact. fast2 measured a PERF
+    NEGATIVE end to end (1.65 vs exact's 1.74-1.86 Mpaths/s on
+    spaceship_r1): the matmul is no longer the iteration bottleneck,
+    so it ships opt-in — BENCH_NOTES round 5 has the full story.
 
 Microbench (scripts/microbench_mxu.py, one v5e, 128k rays,
-spaceship_r1 2097 tris, round 4 numbers for the resident 6-row table):
-brute MXU HIGHEST 17.1-17.6 ms vs the cluster kernel's 43.0-45.7 ms
-on both primary and diverged-bounce ray sets; bf16_3x 11.9 ms.
-Round-5 numbers for this streamed 7-row kernel are in BENCH_NOTES.
+spaceship_r1 2097 tris, round-4 resident 6-row table): brute MXU
+HIGHEST 17.1-17.6 ms vs the cluster kernel's 43.0-45.7 ms on both
+primary and diverged-bounce ray sets; bf16_3x 11.9 ms. Round-5
+end-to-end production numbers (exact resident 1.858 Mpaths/s,
+streamed -2%, fast2 1.65) are in BENCH_NOTES.
 """
 from __future__ import annotations
 
