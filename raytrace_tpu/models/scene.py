@@ -103,7 +103,8 @@ class SceneArrays:
     # --- MXU Woop table (ops/pallas/woop.py): the whole mesh
     # nearest-hit as brute-force matmuls, DMA-streamed from HBM;
     # (8, 8) zeros when the scene gate is off (mxu_chunks == 0) ---
-    mk_woop: Any  # (mxu_chunks*7*CHUNK, 8) f32
+    mk_woop: Any  # exact: (mxu_chunks*6*CHUNK, 128) bf16 split-K;
+    # fast2: (mxu_chunks*7*CHUNK, 128) f32 (ops/pallas/woop.py)
     # --- two-level instancing (round 5): when the mesh is n_inst >= 4
     # copies of ONE glTF asset, the mk_* kernel tables above are
     # ASSET-LOCAL and the kernel walks them once per instance with the
@@ -121,8 +122,8 @@ class SceneArrays:
     # pools (round 4): sky gathers were ~5 ms/iter on biplane against a
     # 450 MB shared pool, and the gather microbench says ns/row drops
     # ~40% in small pools. dtype u8/u16/f32 by source (see _TexPool). ---
-    tex_pool: Any  # (T,) u8 | u16 | f32
-    sky_pool: Any  # (S,) u8 | u16 | f32 — the 6 cubemap faces
+    tex_pool: Any  # (T,) packed u32 (all-8-bit sources) | u16 | f32
+    sky_pool: Any  # (S,) same dtype policy — the 6 cubemap faces
     # --- static metadata (not traced) ---
     n_spheres: int = flax.struct.field(pytree_node=False, default=0)
     n_free_tris: int = flax.struct.field(pytree_node=False, default=0)
@@ -190,13 +191,16 @@ class _TexPool:
     instances share decodes).
 
     Pool dtype (finalize): when EVERY image came with integer source
-    texels (pixels_raw from the loader), the pool stays integer — u8
-    when all sources are 8-bit, else u16 (8-bit sources upscale by
-    x*257, bit-exact: (x*257)f32/65535.0 == (x)f32/255.0 for all x,
-    verified in tests). Consumers divide after the gather, so results
-    are bit-identical to an f32 pool while the HBM random-gather cost
-    drops with pool bytes (4x/2x — the round-3 gather microbench showed
-    pool size drives ns/row). Any float-typed source forces f32."""
+    texels (pixels_raw from the loader), the pool stays integer — one
+    PACKED u32 word per texel (R | G<<8 | B<<16) when all sources are
+    8-bit, else u16 (8-bit sources upscale by x*257, bit-exact:
+    (x*257)f32/65535.0 == (x)f32/255.0 for all x, verified in tests).
+    Consumers unpack/divide after the gather, so results are
+    bit-identical to an f32 pool. What the integer forms buy is
+    random-fetch cost: fewer HBM bytes (round 4), and for the u32
+    packing ONE gather per texel where the slice-3 fetch lowers to
+    three (16 vs 30 ns/lane, scripts/microbench_texpack.py, round 5).
+    Any float-typed source forces f32."""
 
     def __init__(self):
         self.chunks: list = []  # (f32 flat, raw flat | None, raw dtype)
@@ -221,10 +225,22 @@ class _TexPool:
 
     def finalize(self) -> np.ndarray:
         if not self.chunks:
-            return np.zeros((3,), np.uint8)
+            return np.zeros((1,), np.uint32)
         if all(r is not None for _, r in self.chunks):
             if all(r.dtype == np.uint8 for _, r in self.chunks):
-                return np.concatenate([r for _, r in self.chunks])
+                # all-8-bit sources: ONE u32 word per texel
+                # (R | G<<8 | B<<16). One random gather per fetch
+                # instead of the three the slice-3 u8 gather lowers to
+                # on TPU — measured 16 vs 30 ns/lane
+                # (scripts/microbench_texpack.py, round 5). Byte
+                # values are untouched, so the unpack + /255 in the
+                # consumers stays bit-identical to the f32 build.
+                flat = np.concatenate([r for _, r in self.chunks])
+                return (
+                    flat[0::3].astype(np.uint32)
+                    | (flat[1::3].astype(np.uint32) << np.uint32(8))
+                    | (flat[2::3].astype(np.uint32) << np.uint32(16))
+                )
             return np.concatenate([
                 r.astype(np.uint16) * np.uint16(257) if r.dtype == np.uint8
                 else r
@@ -238,14 +254,35 @@ def pool_texels_to_f32(vals):
     their full-scale constant AFTER the gather — bit-identical to the
     all-f32 build (the loader's own u8->f32 conversion is the same
     x/255.0 in f32; (x*257)/65535.0 == x/255.0 bitwise for u16-upcast
-    u8 sources). Works on jnp and np arrays."""
+    u8 sources). Works on jnp and np arrays. Packed-u32 pools never
+    reach here — their fetch sites unpack the word themselves
+    (integrator._fetch_rgb / ops.texture.sample_nearest)."""
     import jax.numpy as jnp
 
+    assert vals.dtype != jnp.uint32, "packed pools unpack at the fetch site"
     if vals.dtype == jnp.uint8:
         return vals.astype(jnp.float32) / np.float32(255.0)
     if vals.dtype == jnp.uint16:
         return vals.astype(jnp.float32) / np.float32(65535.0)
     return vals
+
+
+def pool_to_f32_flat(pool):
+    """FULL texel pool -> flat (3N,) f32 RGB values in [0,1] — the
+    shape/values an all-f32 build would store. Used by the diff tier
+    (parallel.distributed.split_diff_scene) so texture gradients flow
+    through a float pool, and by pool bit-identity tests. np arrays in,
+    np out."""
+    pool = np.asarray(pool)
+    if pool.dtype == np.uint32:
+        out = np.empty((pool.size * 3,), np.float32)
+        out[0::3] = (pool & np.uint32(0xFF)).astype(np.float32)
+        out[1::3] = ((pool >> np.uint32(8)) & np.uint32(0xFF)).astype(np.float32)
+        out[2::3] = ((pool >> np.uint32(16)) & np.uint32(0xFF)).astype(np.float32)
+        return out / np.float32(255.0)
+    if pool.dtype in (np.uint8, np.uint16):
+        return np.asarray(pool_texels_to_f32(pool))
+    return pool.astype(np.float32, copy=False)
 
 
 def _normalize_rows(a: np.ndarray, eps: float = 1e-20) -> np.ndarray:

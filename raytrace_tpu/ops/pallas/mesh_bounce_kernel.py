@@ -729,8 +729,9 @@ def bounce_tiles(
     # reshape preserves value order, so outputs reshape back
     # transparently). Pools smaller than one (8, 1024) block keep the
     # (8, 128) layout — the MXU pass works at N = 128 too.
-    # resident-table gate: ~7.4 MB at 36 chunks (2304 tris) alongside
-    # the lane blocks; streamed beyond. fast2 streams regardless — its
+    # resident-table gate: ~3.5 MB at 36 chunks (2304 tris, bf16
+    # split-K layout) alongside the lane blocks; streamed beyond.
+    # fast2 streams regardless — its
     # split/carry transients push the resident form past the 16 MB
     # scoped-vmem limit (measured 18.48 MB, round-5 compile log).
     _w_resident = (bool(mxu_chunks) and mxu_chunks <= 36
@@ -801,9 +802,11 @@ def bounce_tiles(
                 (table(tri, pltpu.VMEM) if _m_resident
                  else pl.BlockSpec(memory_space=pl.ANY)),
                 # woop table: VMEM-resident for small meshes (no DMA
-                # machinery), HBM + double-buffered DMA above the gate
+                # machinery), HBM + double-buffered DMA above the gate.
+                # The exact table is (rows, 128) bf16 split-K (round
+                # 5); fast2 keeps (rows, 128) f32, streamed only.
                 (pl.BlockSpec(
-                    (woop.shape[0], 8), lambda i: (0, 0),
+                    woop.shape, lambda i: (0, 0),
                     memory_space=pltpu.VMEM,
                  ) if _w_resident
                  else pl.BlockSpec(memory_space=pl.ANY)),
@@ -816,15 +819,14 @@ def bounce_tiles(
             pltpu.VMEM((GROUP * (width // 8), 8 * TRI_COLS), jnp.float32),
             pltpu.SemaphoreType.DMA((GROUP,)),
         ] + ([
-            pltpu.VMEM((_w_rpt * _W_CHUNK, 128), jnp.float32),
-            pltpu.VMEM((_w_rpt * _W_CHUNK, 128), jnp.float32),
+            pltpu.VMEM((_w_rpt * _W_CHUNK, 128), woop.dtype),
+            pltpu.VMEM((_w_rpt * _W_CHUNK, 128), woop.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ] if (mxu_chunks and not _w_resident) else []),
         interpret=interpret,
     )(rsh(xs), rsh(ys), rsh(samp), *(rsh(a) for a in carry), *attr_args,
       sph_table, ft_table, cam_vec, bounds, sbounds, sgbounds, tri,
-      woop[:, :8] if _w_resident else woop,  # resident: K=8 slice
-      inst)
+      woop, inst)
     if factor > 1:
         outs = [o.reshape(rows, LANES) for o in outs]
     return outs[:18], outs[18:]

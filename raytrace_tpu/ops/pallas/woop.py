@@ -50,9 +50,17 @@ sky-dominated scenes cull (BENCH_NOTES round 5).
 Modes (static `prec` on the kernel, replacing the round-4
 RTPU_MXU_PREC env global so tests can exercise both):
 
-  "exact": 6-pass bf16 (Precision.HIGHEST ~ f32) dot; strict validity;
-    best hit (t, gid, u, v) written to the output refs — same numbers
-    as the round-4 default path, ulps off Moller-Trumbore.
+  "exact": the round-5 SPLIT-K form. Each f32 coefficient splits
+    exactly into three bf16 components (24 mantissa bits = 3 x 8);
+    every bf16 x bf16 cross-product is exact in the MXU's f32
+    accumulator, and all 9 products of the A/X splits ride the K
+    dimension of ONE DEFAULT-precision matmul (K = 72 of the 128 a
+    systolic pass charges regardless). Same f32-faithful sum the old
+    6-pass HIGHEST dot computed (HIGHEST uses a 6-product subset of
+    this algebra) at ~1/6 the MXU time — spaceship_r1 kernel 13.3 ->
+    3.5 ms/iter, 2.34 -> 3.9 Mpaths/s end to end (round-5 session 3).
+    Strict validity; best hit (t, gid, u, v) written to the output
+    refs, ulps off Moller-Trumbore.
   "fast2": 3-pass bf16 (f32 ~ hi+lo; R ~ Ah@Xh + Ah@Xl + Al@Xh);
     validity widened by the per-lane tau band; tracks the TOP-K
     (K = 4) candidates by fast t. The kernel then classifies a lane
@@ -133,13 +141,16 @@ MARGIN_ABS = 1e-3
 
 def pack_woop_table_np(v0, e1, e2, fast2: bool = False):
     """Triangle arrays ((M, 3) each, global order) ->
-    (woop table f32, n_chunks, r_s, fast2_ok).
+    (woop table, n_chunks, r_s, fast2_ok).
     Rows of chunk ci are grouped by component. Two layouts:
       fast2=False (default, exact mode): SIX unnormalized rows
-        [U_o|V_o|W_o|U_d|V_d|W_d] x CHUNK, minor dim 8 — the round-4
-        form (validity u,v in [0,1] directly; one less matmul row).
-      fast2=True: SEVEN scale-normalized rows (+ the S bias row) with
-        minor dim zero-padded to 128 for the HBM DMA stream.
+        [U_o|V_o|W_o|U_d|V_d|W_d] x CHUNK (validity u,v in [0,1]
+        directly), stored as the (rows, 128) bf16 SPLIT-K form — each
+        f32 coefficient as three exact bf16 components tiled so one
+        DEFAULT-precision K=128 matmul carries all 9 cross-products
+        (see the inline comment below).
+      fast2=True: SEVEN scale-normalized rows (+ the S bias row) f32
+        with minor dim zero-padded to 128 for the HBM DMA stream.
     Degenerate and padding triangles get all-zero rows (d'w = 0 ->
     rejected by the det guard). r_s = max vertex norm (the fast2 tau
     scale)."""
@@ -202,14 +213,37 @@ def pack_woop_table_np(v0, e1, e2, fast2: bool = False):
     band = TAU_C * (2.0 * r_s) * (2.0 ** -17) * mag[ok] if ok.any() else mag[:0]
     fast2_ok = bool(band.size == 0 or np.percentile(band, 99) < 0.3)
     if not fast2:
-        # exact layout: (6*Tp, 8), VMEM-resident or DMA via 128-wide
-        # repack below only when streamed
+        # exact layout (round-5 split-K form): the f32 coefficients
+        # split exactly into THREE bf16 components (24 mantissa bits =
+        # 3 x 8), and every cross-product a_i * x_j is EXACT in the
+        # MXU's f32 accumulator (8-bit x 8-bit mantissas fit f32). The
+        # 9 products ride the K dimension of ONE DEFAULT-precision
+        # matmul — K = 72 of the 128 the systolic array charges for
+        # anyway — replacing the 6 HIGHEST passes of the K = 8 round-4
+        # form at ~1/6 the MXU time, with equal-or-better accuracy
+        # (HIGHEST itself is a 6-product subset of the same algebra).
+        # Column layout: [a0|a1|a2] tiled 3x; the kernel pairs it with
+        # X_cat = [x0;x0;x0; x1;x1;x1; x2;x2;x2] so slot block b
+        # multiplies a_{b%3} by x_{b//3}. Cols 72:128 are zero (the
+        # matmul charges K = 128 regardless; zero columns accumulate
+        # exact zeros). bf16 storage also halves the streamed DMA
+        # bytes for > 36-chunk meshes.
         A8 = A.reshape(n_chunks * 6 * CHUNK, 8).astype(np.float32)
-        if n_chunks > 36:
-            Af6 = np.zeros((n_chunks * 6 * CHUNK, 128), np.float32)
-            Af6[:, :8] = A8
-            return Af6, n_chunks, r_s, fast2_ok
-        return A8, n_chunks, r_s, fast2_ok
+        import ml_dtypes
+
+        bf16 = ml_dtypes.bfloat16
+        a0 = A8.astype(bf16)
+        r1 = A8 - a0.astype(np.float32)
+        a1 = r1.astype(bf16)
+        a2 = (r1 - a1.astype(np.float32)).astype(bf16)
+        # exact-split invariant (degenerate/padding rows are zeros and
+        # split exactly; normal coefficients reconstruct bitwise)
+        rec = a0.astype(np.float32) + a1.astype(np.float32) + a2.astype(np.float32)
+        assert np.array_equal(rec, A8), "bf16 3-split must be exact"
+        S = np.concatenate([a0, a1, a2], axis=1)  # (rows, 24)
+        Acat = np.zeros((A8.shape[0], 128), bf16)
+        Acat[:, :72] = np.concatenate([S, S, S], axis=1)
+        return Acat, n_chunks, r_s, fast2_ok
     return Af, n_chunks, r_s, fast2_ok
 
 
@@ -272,14 +306,32 @@ def mxu_mesh_hit(
             woop_hbm.at[pl.ds(ci * rows, rows)], bufs[parity], dsem.at[parity]
         )
 
-    # per-sublane-row ray matrices (and bf16 splits for fast mode),
-    # built once — the chunk loop reuses them
+    # split-K exact mode (bf16 table, round 5): the 9 exact bf16
+    # cross-products of the 3-way splits ride the K dimension of ONE
+    # DEFAULT-precision matmul — see pack_woop_table_np
+    splitk = (not fast) and woop_hbm.dtype == jnp.bfloat16
+
+    # per-sublane-row ray matrices (and bf16 splits for fast/split-K
+    # modes), built once — the chunk loop reuses them
     Xs, Xhs, Xls = [], [], []
     for r in range(8):
         X = jnp.concatenate(
             [ox[r:r + 1, :], oy[r:r + 1, :], oz[r:r + 1, :], one,
              dx[r:r + 1, :], dy[r:r + 1, :], dz[r:r + 1, :], zero],
             axis=0)  # (8, N)
+        if splitk:
+            # exact 3-way bf16 split of the ray column (24 mantissa
+            # bits = 3 x 8): X_cat rows pair with the table's
+            # [a0|a1|a2]-tiled-3x columns so slot block b computes
+            # a_{b%3} * x_{b//3} — all 9 products, each exact in f32
+            x0 = X.astype(jnp.bfloat16)
+            rr1 = X - x0.astype(jnp.float32)
+            x1 = rr1.astype(jnp.bfloat16)
+            x2 = (rr1 - x1.astype(jnp.float32)).astype(jnp.bfloat16)
+            zpad = jnp.zeros((128 - 72, N), jnp.bfloat16)
+            X = jnp.concatenate(
+                [x0, x0, x0, x1, x1, x1, x2, x2, x2, zpad], axis=0
+            )  # (128, N) bf16
         Xs.append(X)
         if fast:
             Xh = X.astype(jnp.bfloat16)
@@ -325,8 +377,9 @@ def mxu_mesh_hit(
         # streamed chunks are (7c, 128) for DMA lane alignment -> K =
         # 128 against X tiled 16x (the LHS zero columns annihilate the
         # repeats; K <= 128 costs the same systolic passes); resident
-        # tables keep the (7c, 8) K = 8 form
-        if A.shape[1] == 8:
+        # tables keep the (7c, 8) K = 8 form. The split-K exact table
+        # is (6c, 128) bf16 and X_cat is already (128, N).
+        if A.shape[1] == 8 or splitk:
             expand = lambda x: x
         else:
             expand = lambda x: jnp.concatenate([x] * 16, axis=0)
@@ -339,6 +392,14 @@ def mxu_mesh_hit(
                 Xh = expand(Xhs[r])
                 Xl = expand(Xls[r])
                 R = dot(Ah, Xh) + dot(Ah, Xl) + dot(Al, Xh)
+            elif splitk:
+                # ONE single-pass matmul: K carries the 9 exact bf16
+                # cross-products (the round-4 form paid 6 HIGHEST
+                # passes of K = 8 for the same f32-faithful sum)
+                R = jax.lax.dot_general(
+                    A, Xs[r], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.DEFAULT)  # (6c, N)
             else:
                 R = jax.lax.dot_general(
                     A, expand(Xs[r]), (((1,), (0,)), ((), ())),

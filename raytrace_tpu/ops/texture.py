@@ -30,10 +30,22 @@ def sample_nearest(tex_pool, offset, width, height, u, v):
     base = offset + 3 * (px + py * width)
     ok = width > 0
     base = jnp.where(ok, base, 0)
-    rgb = jnp.stack(
-        [jnp.take(tex_pool, base + i, mode="clip") for i in range(3)], axis=-1
-    )
-    rgb = pool_texels_to_f32(rgb)
+    if tex_pool.dtype == jnp.uint32:
+        # packed all-8-bit pool: one u32 word per texel (R|G<<8|B<<16)
+        # — one gather instead of three (models/scene._TexPool). base
+        # is off + 3k with off divisible by 3, so // 3 is the texel id.
+        w32 = jnp.take(tex_pool, base // 3, mode="clip")
+        rgb = jnp.stack(
+            [((w32 >> jnp.uint32(8 * i)) & jnp.uint32(0xFF)).astype(jnp.float32)
+             / jnp.float32(255.0)
+             for i in range(3)], axis=-1,
+        )
+    else:
+        rgb = jnp.stack(
+            [jnp.take(tex_pool, base + i, mode="clip") for i in range(3)],
+            axis=-1,
+        )
+        rgb = pool_texels_to_f32(rgb)
     return jnp.where(ok[..., None], rgb, 0.0)
 
 

@@ -138,11 +138,15 @@ def split_diff_scene(scene):
     pools (the compact u8/u16 build) are converted to pre-divided f32
     pools here so texture gradients flow — the consumers key the
     divide on pool dtype, so an f32 pool must hold the [0,1] values."""
-    from ..models.scene import pool_texels_to_f32
+    from ..models.scene import pool_to_f32_flat
 
     diff = {f: getattr(scene, f) for f in DIFF_SCENE_FIELDS}
     for f in ("tex_pool", "sky_pool"):
-        diff[f] = pool_texels_to_f32(diff[f])
+        # packed-u32 / u8 / u16 pools expand to the flat f32 RGB pool
+        # an all-float build would store (bit-identical values); the
+        # consumers key the fetch path on pool dtype, so the float
+        # pool reverts them to the slice-3 gather with gradients
+        diff[f] = jnp.asarray(pool_to_f32_flat(getattr(scene, f)))
     return diff, (lambda d: scene.replace(**d))
 
 

@@ -477,6 +477,21 @@ def _fetch_rgb(tex_pool, base3) -> Vec3:
     (models/scene.pool_texels_to_f32)."""
     from ..models.scene import pool_texels_to_f32
 
+    if tex_pool.dtype == jnp.uint32:
+        # packed pool (all-8-bit sources): ONE u32 word per texel
+        # (R | G<<8 | B<<16). The slice-3 gather below lowers to THREE
+        # separate gathers on TPU (round-5 device trace), so the
+        # packed fetch costs a third in HBM random-access time
+        # (16 vs 30 ns/lane, scripts/microbench_texpack.py). base3 is
+        # always off + 3k with off a pool byte-offset divisible by 3,
+        # so the texel index is exactly base3 // 3; the byte unpack +
+        # /255 matches the u8 path bitwise.
+        w = jnp.take(tex_pool, base3 // 3, mode="clip")
+        r = (w & jnp.uint32(0xFF)).astype(jnp.float32) / np.float32(255.0)
+        g = ((w >> jnp.uint32(8)) & jnp.uint32(0xFF)).astype(jnp.float32) / np.float32(255.0)
+        b = ((w >> jnp.uint32(16)) & jnp.uint32(0xFF)).astype(jnp.float32) / np.float32(255.0)
+        return Vec3(r, g, b)
+
     rgb = jax.lax.gather(
         tex_pool,
         base3[..., None],

@@ -482,7 +482,12 @@ class Renderer:
             # bounce kernel; work units handed out sample-major over
             # the tile-ordered pixel permutation (block coherence for
             # the kernel's cluster culling)
-            self.mf_pool = min(1 << 17, -(-n_pix // 1024) * 1024)
+            # lane-pool cap: 128k lanes keeps every dense per-iteration
+            # stage comfortably under VMEM block limits; RTPU_MESH_POOL
+            # overrides for pool-scaling experiments (must stay a
+            # multiple of 1024 — wavefront_mesh_fused asserts it)
+            _pool_cap = int(os.environ.get("RTPU_MESH_POOL", str(1 << 17)))
+            self.mf_pool = min(_pool_cap, -(-n_pix // 1024) * 1024)
             # chunk length: a refilled lane owns up to this many
             # consecutive samples of one pixel. Default 1: the sweep
             # (BENCH_NOTES round 3) measured chunking a net LOSS on

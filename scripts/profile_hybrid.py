@@ -42,11 +42,13 @@ step = jax.jit(
         fm.wavefront_mesh_fused, width=r.width, height=r.height,
         pool=r.mf_pool, has_lens=False, hints=r._mhints,
         shade_width=r.mf_shade_width, retire_width=r.mf_retire_width,
-        spl=r.mf_spl, return_stats=True,
+        spl=r.mf_spl, inkernel_shade=r.mf_inkernel,
+        mxu_prec=r.mf_mxu_prec, return_stats=True,
     )
 )
 print(f"shade_width {r.mf_shade_width} retire_width {r.mf_retire_width} "
-      f"spl {r.mf_spl} pool {r.mf_pool}", flush=True)
+      f"spl {r.mf_spl} pool {r.mf_pool} iks {r.mf_inkernel} "
+      f"prec {r.mf_mxu_prec}", flush=True)
 args = (r._mtables, r._mcam_vec, scene_dev, r.cam_arrays, r.params)
 kw = dict(xs_tab=r._mxs, ys_tab=r._mys, sample_base=jnp.int32(0),
           n_samples=jnp.int32(spp))

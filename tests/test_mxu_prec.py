@@ -156,7 +156,7 @@ def test_streamed_exact_table_matches_numpy():
         out_shape=[jax.ShapeDtypeStruct((8, N), jnp.float32),
                    jax.ShapeDtypeStruct((8, N), jnp.int32)]
         + [jax.ShapeDtypeStruct((8, N), jnp.float32)] * 5,
-        scratch_shapes=[pltpu.VMEM((rpt * 64, 128), jnp.float32)] * 2
+        scratch_shapes=[pltpu.VMEM((rpt * 64, 128), jnp.asarray(tab).dtype)] * 2
         + [pltpu.SemaphoreType.DMA((2,))],
         interpret=True,
     )

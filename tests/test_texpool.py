@@ -14,7 +14,11 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from raytrace_tpu.models.scene import _TexPool, pool_texels_to_f32
+from raytrace_tpu.models.scene import (
+    _TexPool,
+    pool_texels_to_f32,
+    pool_to_f32_flat,
+)
 from raytrace_tpu.ops.texture import sample_nearest
 from raytrace_tpu.render.renderer import (
     SHADE_DENSE_COVERAGE,
@@ -45,17 +49,17 @@ def _img(rng, h, w, dtype):
 def test_pool_dtype_policy_and_bit_equality():
     rng = np.random.default_rng(0)
 
-    # all-u8 sources -> u8 pool; converted gathers == f32 build bitwise
+    # all-u8 sources -> PACKED u32 pool (one word per texel, round 5);
+    # unpacked values == f32 build bitwise
     p8, pf = _TexPool(), _TexPool()
     for _ in range(3):
         px, raw = _img(rng, 8, 16, np.uint8)
         p8.add(px, raw=raw)
         pf.add(px, raw=None)
     pool8, poolf = p8.finalize(), pf.finalize()
-    assert pool8.dtype == np.uint8 and poolf.dtype == np.float32
-    np.testing.assert_array_equal(
-        np.asarray(pool_texels_to_f32(jnp.asarray(pool8))), poolf
-    )
+    assert pool8.dtype == np.uint32 and poolf.dtype == np.float32
+    assert pool8.size * 3 == poolf.size
+    np.testing.assert_array_equal(pool_to_f32_flat(pool8), poolf)
 
     # mixed u8 + u16 -> u16 pool with the exact x*257 upscale
     pm, pmf = _TexPool(), _TexPool()
