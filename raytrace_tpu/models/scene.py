@@ -269,20 +269,24 @@ def pool_texels_to_f32(vals):
 
 def pool_to_f32_flat(pool):
     """FULL texel pool -> flat (3N,) f32 RGB values in [0,1] — the
-    shape/values an all-f32 build would store. Used by the diff tier
-    (parallel.distributed.split_diff_scene) so texture gradients flow
-    through a float pool, and by pool bit-identity tests. np arrays in,
-    np out."""
-    pool = np.asarray(pool)
+    shape/values an all-f32 build would store, bitwise. Used by the
+    diff tier (parallel.distributed.split_diff_scene) so texture
+    gradients flow through a float pool, and by pool bit-identity
+    tests. Works on np arrays AND under jit tracing (the train step
+    calls it on a traced scene), so packed u32 pools unpack with the
+    operand's own array namespace."""
+    import jax.numpy as jnp
+
+    xp = np if isinstance(pool, np.ndarray) else jnp
     if pool.dtype == np.uint32:
-        out = np.empty((pool.size * 3,), np.float32)
-        out[0::3] = (pool & np.uint32(0xFF)).astype(np.float32)
-        out[1::3] = ((pool >> np.uint32(8)) & np.uint32(0xFF)).astype(np.float32)
-        out[2::3] = ((pool >> np.uint32(16)) & np.uint32(0xFF)).astype(np.float32)
-        return out / np.float32(255.0)
+        r = (pool & xp.uint32(0xFF)).astype(xp.float32)
+        g = ((pool >> xp.uint32(8)) & xp.uint32(0xFF)).astype(xp.float32)
+        b = ((pool >> xp.uint32(16)) & xp.uint32(0xFF)).astype(xp.float32)
+        # stack+reshape interleaves to the f32 build's RGBRGB... order
+        return xp.stack([r, g, b], axis=-1).reshape(-1) / xp.float32(255.0)
     if pool.dtype in (np.uint8, np.uint16):
-        return np.asarray(pool_texels_to_f32(pool))
-    return pool.astype(np.float32, copy=False)
+        return pool_texels_to_f32(pool)
+    return pool.astype(xp.float32)
 
 
 def _normalize_rows(a: np.ndarray, eps: float = 1e-20) -> np.ndarray:
