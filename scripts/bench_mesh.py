@@ -315,6 +315,38 @@ def main():
     pps = W * H * SPP / dt
     print(f"steady: {dt:.1f}s for {SPP} spp -> {pps/1e6:.3f} Mpaths/s "
           f"(reference a380: GPU 0.26, CPU+kd 0.34)", flush=True)
+
+    if os.environ.get("BENCH_MESH_TRACE") == "1" and mode == "fused":
+        # device-op attribution of one steady dispatch (the same
+        # aggregation profile_hybrid uses)
+        import glob as _glob
+        import gzip as _gzip
+        import json as _json
+        from collections import defaultdict as _dd
+
+        trace_dir = "/tmp/bench_mesh_trace"
+        os.system(f"rm -rf {trace_dir}")
+        with jax.profiler.trace(trace_dir):
+            out = step(tables, cam_vec, scene, cam, params,
+                       xs_tab=xs, ys_tab=ys,
+                       sample_base=jnp.int32(1), n_samples=jnp.int32(SPP))
+            np.asarray(out)
+        paths = _glob.glob(f"{trace_dir}/**/*.trace.json.gz", recursive=True)
+        if paths:
+            with _gzip.open(paths[0], "rt") as f:
+                tr = _json.load(f)
+            pid_names = {e.get("pid"): e.get("args", {}).get("name", "")
+                         for e in tr.get("traceEvents", [])
+                         if e.get("ph") == "M" and e.get("name") == "process_name"}
+            by = _dd(float)
+            for e in tr.get("traceEvents", []):
+                if e.get("ph") == "X" and "dur" in e:
+                    pn = pid_names.get(e.get("pid"), "")
+                    if "TPU" in pn or "tpu" in pn or "/device" in pn.lower():
+                        by[e["name"]] += e["dur"] / 1e6
+            print(f"device op time total {sum(by.values()):.2f}s; top 15:")
+            for nm, t in sorted(by.items(), key=lambda kv: -kv[1])[:15]:
+                print(f"  {t:7.3f}s  {nm[:110]}", flush=True)
     print("mean:", np.asarray(out).mean(axis=0), flush=True)
 
     # per-scene JSON artifact (VERDICT round-3 ask 8)
