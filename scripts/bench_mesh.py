@@ -31,7 +31,11 @@ from raytrace_tpu.render.renderer import camera_to_arrays, sample_batch
 
 N_TRIS = 127_749  # a380 element count (reference README.md:173)
 W, H = 1216, 608
-SPP = int(os.environ.get("BENCH_MESH_SPP", "4"))
+# 16 spp amortizes the fixed per-dispatch cost (axon dispatch chain +
+# readback, ~0.6 s) that dominates a 4-spp run at ~0.7 Mpaths/s:
+# composite measured 0.661 at 4 spp vs 0.703 at 16 (round 5 session 4);
+# a single 16-spp dispatch is ~17 s — safely under the TPU watchdog
+SPP = int(os.environ.get("BENCH_MESH_SPP", "16"))
 
 
 N_TEXTURES = int(os.environ.get("BENCH_MESH_TEXTURES", "0"))
