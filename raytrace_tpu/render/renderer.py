@@ -306,6 +306,35 @@ def estimate_mesh_coverage(scene, cam, width: int, height: int) -> float:
     return float(((entry <= exit_) & (exit_ >= 0.0)).mean())
 
 
+def adapt_dispatch_spp(b: int, dt: float, ceiling: int,
+                       grow_below: float = 15.0,
+                       shrink_above: float = 35.0) -> int:
+    """Watchdog-aware dispatch sizing for mesh scenes (round 5).
+
+    The per-dispatch fixed costs — the wavefront drain tail (the
+    max-path-length iterations the pool pays at collapsing occupancy
+    once per dispatch) and the host sync + (n_pix, 3) readback —
+    favor LARGE dispatches, but a single dispatch that outlives the
+    ~60 s TPU runtime watchdog kills the worker (the reference had
+    the same constraint on consumer GPUs, README.md:280-285), and a
+    safe static cap must assume the slowest scene class (~16 spp).
+    n_samples is a TRACED scalar in every driver, so resizing the
+    dispatch does not recompile: after each dispatch the renderer
+    doubles `b` while the measured wall time stays under
+    `grow_below` seconds (the next dispatch then worst-cases at
+    ~2x grow_below, comfortably inside the watchdog) and halves it
+    above `shrink_above`. Measured at the reference's 200-spp
+    protocol on one v5e: spaceship_r1 4.32 Mpaths/s at a static
+    50-spp cap vs 4.46 at 100 — the growth path recovers that
+    without risking a380-class scenes (~0.7 Mpaths/s, where 100 spp
+    would be ~105 s and a worker kill)."""
+    if dt < grow_below and b * 2 <= ceiling:
+        return b * 2
+    if dt > shrink_above and b > 1:
+        return max(1, b // 2)
+    return b
+
+
 def _params_from_scheme(scheme: Scheme, mode: str, differentiable: bool, mesh_chunk: int):
     ri = scheme.render_info.rad_info
     return IntegratorParams(
@@ -740,6 +769,7 @@ class Renderer:
         # honored when a hook wants the intermediate images.
         b = batch or (info.render_batch if update_hook is not None else total)
         b = max(1, min(b or total, total))
+        adapt_cap = 0  # 0 = fixed dispatch size (non-mesh, env cap, hook)
         if self.scene.n_mesh_tris:
             # long single dispatches on mesh scenes can trip the TPU
             # runtime's watchdog (the reference had the same constraint
@@ -761,6 +791,15 @@ class Renderer:
                 default_cap = "2"
             cap = int(os.environ.get("RTPU_MAX_DISPATCH_SPP", default_cap))
             b = min(b, cap)
+            # adaptive sizing (see adapt_dispatch_spp): grow past the
+            # conservative static default while measured dispatches
+            # stay well under the watchdog. An explicit
+            # RTPU_MAX_DISPATCH_SPP (bench reproducibility), an
+            # explicit batch argument, or a preview hook's batch
+            # cadence disables it entirely.
+            if ("RTPU_MAX_DISPATCH_SPP" not in os.environ
+                    and update_hook is None and batch is None):
+                adapt_cap = min(256, total)
 
         bar = None
         if progress:
@@ -793,6 +832,7 @@ class Renderer:
         rendered = 0
         while rendered < total:
             n = min(b, total - rendered)
+            t_disp = time.time()
             base = self.target.count  # sample ids continue across calls
             nd = self.n_devices
             # Each driver prefers the spp-sharded multi-device step, but
@@ -883,6 +923,13 @@ class Renderer:
             else:
                 n = self._render_plain(scene_dev, base, n)
             rendered += n
+            if adapt_cap and n == b and rendered < total:
+                # full-size dispatches inform the sizing (each driver
+                # syncs through np.asarray above, so the wall time is
+                # the dispatch time; the first dispatch's jit compile
+                # only inflates it, which at worst delays one growth
+                # step — conservative in the safe direction)
+                b = adapt_dispatch_spp(b, time.time() - t_disp, adapt_cap)
             meter.add(n * n_pix)
             if bar is not None:
                 bar.update(n)

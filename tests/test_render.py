@@ -379,3 +379,26 @@ def test_render_exact_sample_count_all_drivers():
     r2.render(samples=6, progress=False)
     assert seen == [4]          # one packed dispatch of spd
     assert r2.target.count == 6  # 4 fused + 2 exact-tail plain
+
+
+def test_adapt_dispatch_spp_policy():
+    """Watchdog-aware dispatch sizing: double while dispatches are
+    fast, halve when they approach the watchdog, never exceed the
+    ceiling or drop below 1."""
+    from raytrace_tpu.render.renderer import adapt_dispatch_spp
+
+    # fast dispatch -> double, up to the ceiling
+    assert adapt_dispatch_spp(16, 3.0, 256) == 32
+    assert adapt_dispatch_spp(128, 3.0, 256) == 256
+    assert adapt_dispatch_spp(200, 3.0, 256) == 200   # 2x would exceed
+    assert adapt_dispatch_spp(256, 3.0, 256) == 256
+    # comfortable middle ground -> hold
+    assert adapt_dispatch_spp(64, 20.0, 256) == 64
+    # slow dispatch (watchdog risk) -> halve, floor at 1
+    assert adapt_dispatch_spp(64, 40.0, 256) == 32
+    assert adapt_dispatch_spp(1, 40.0, 256) == 1
+    # growth threshold bounds the next dispatch: after a grow, the
+    # worst-case next time is ~2x the threshold -- well under the
+    # ~60 s TPU watchdog with the default 15 s bound
+    assert adapt_dispatch_spp(16, 14.9, 256) == 32
+    assert adapt_dispatch_spp(16, 15.0, 256) == 16
